@@ -162,20 +162,29 @@ object SparkEntry {
         .orderBy("probe_id", "rnk")
     }),
     "q_embedding_lsh_ann" -> ((s, dir) => {
-      // LSH-bucketed near-neighbor pairs: 16 hyperplane bits → bucket,
-      // exact quantized-cosine rerank inside buckets (scale path for ANN).
+      // Multi-table hyperplane LSH for cosine ANN: 8 tables × 4 bits → bucket
+      // keys, candidates = same bucket in ANY table (OR-amplification), exact
+      // quantized-cosine rerank. This is the scale path: candidate generation
+      // is a shuffle on (table, bucket), never an all-pairs join.
       val e = tbl(s, dir, "embeddings")
       val dim = e.select(size(col("embedding"))).first().getInt(0)
-      val hasher = graft.core.SimHasher(16, dim, lshConfig.seed)
-      val sigUdf = udf((v: Seq[Float]) => hasher(v.map(_.toDouble).toArray)(0))
+      val tables = 8; val bitsPerTable = 4
+      val hasher = graft.core.SimHasher(tables * bitsPerTable, dim, lshConfig.seed)
+      val bucketsUdf = udf((v: Seq[Float]) => {
+        val sig = hasher(v.map(_.toDouble).toArray)(0) // 32 bits in word 0
+        Array.tabulate(tables)(t => (sig >>> (t * bitsPerTable)) & ((1L << bitsPerTable) - 1))
+      })
       val q = e.select(col("vec_id"), GraftFunctions.quantize(col("embedding")).as("v"),
-        sigUdf(col("embedding")).as("bucket"))
-      q.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
-        .join(q.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket")), Seq("bucket"))
+        posexplode(bucketsUdf(col("embedding"))).as(Seq("table_idx", "bucket")))
+      q.select(col("vec_id").as("vec_a"), col("v").as("va"), col("table_idx"), col("bucket"))
+        .join(q.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("table_idx"), col("bucket")),
+          Seq("table_idx", "bucket"))
         .where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates("vec_a", "vec_b")
         .select(col("vec_a"), col("vec_b"),
           GraftFunctions.cosineQuantized(col("va"), col("vb")).as("cos_sim"))
-        .where(col("cos_sim") >= 0.9)
+        .where(col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     }),
     // ------------------------------------------------------------ relational

@@ -1,0 +1,75 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{Rng, SimHasher, Similarities}
+import graft.functions.GraftFunctions
+
+/** The reference's statistical collision tests run THROUGH the Dataset path —
+  * proving the Catalyst plan preserves the hash semantics (SURVEY.md §5). */
+class SparkStatisticalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("MinHash collision frequency ≈ Jaccard within 0.01 via the Dataset path") {
+    import spark.implicits._
+    val symbols = {
+      val arr = Array.tabulate(200)(i => (i + 1).toLong)
+      new scala.util.Random(0L).shuffle(arr.toSeq).toArray
+    }
+    val a = symbols.slice(0, 100)
+    val b = symbols.slice(0, 75) ++ symbols.slice(100, 125) // J = 0.6
+    val df = Seq((1L, a.toSeq), (2L, b.toSeq)).toDF("id", "shingles")
+    val mh = GraftFunctions.minhashSigUdf(10000, 0L)
+    val sigs = df.select($"id", mh($"shingles").as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val freq = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }.toDouble / 10000
+    val jac = Similarities.jaccard(a.toSet, b.toSet)
+    assert(math.abs(freq - jac) <= 0.01, s"freq=$freq jac=$jac")
+  }
+
+  test("SimHash collision frequency matches closed form via the Dataset path") {
+    import spark.implicits._
+    val dim = 4
+    val h = SimHasher(1024, dim, 0L)
+    val rnd = new scala.util.Random(0L)
+    val pairs = Seq.tabulate(32)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian()), Seq.fill(dim)(rnd.nextGaussian())))
+    val sigUdf = udf((v: Seq[Double]) => h(v.toArray))
+    val rows = pairs.toDF("id", "x", "y")
+      .select($"id", sigUdf($"x").as("sx"), sigUdf($"y").as("sy"))
+      .collect()
+    def bit(s: Seq[Long], i: Int): Boolean = ((s(i >>> 6) >>> (i & 63)) & 1L) == 1L
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (sx, sy) = (r.getSeq[Long](1), r.getSeq[Long](2))
+      val freq = (0 until 1024).count(i => bit(sx, i) == bit(sy, i)).toDouble / 1024
+      val (x, y) = (pairs(id.toInt)._2.toArray, pairs(id.toInt)._3.toArray)
+      val prob = h.singleHashCollisionProbability(Similarities.cossim(x, y))
+      assert(math.abs(freq - prob) <= 0.05, s"pair $id: freq=$freq prob=$prob")
+    }
+  }
+
+  test("signature UDF equals the pure-Scala kernel (plan preserves semantics)") {
+    import spark.implicits._
+    val texts = Seq((7L, "the quick brown fox jumps over the lazy dog again and again"))
+    val sh = GraftFunctions.shingleHashesUdf(3, 42L)
+    val mh = GraftFunctions.minhashSigUdf(16, 42L)
+    val viaSpark = texts.toDF("id", "text")
+      .select(mh(sh($"text")).as("sig")).first().getSeq[Long](0)
+    val direct = graft.core.MinHasher(16, 42L)(
+      GraftFunctions.shingleHashSet(GraftFunctions.wordNgrams(texts.head._2, 3), 42L))
+    assert(viaSpark == direct.toSeq)
+  }
+
+  test("unsigned min semantics: negative-as-unsigned hashes never win spuriously") {
+    // craft shingles whose seeded hashes include both sign bits; the signature
+    // must equal the unsigned min, not the signed min
+    val h = graft.core.MinHasher(1, 0L)
+    val shingles = Array.tabulate(64)(i => i.toLong * 7919)
+    val sig = h(shingles)(0)
+    val all = shingles.map(s => Rng.hash2(Rng.derive(0L, 0x4D494E48L), s))
+    val unsignedMin = all.minBy(Rng.unsignedKey)
+    assert(sig == unsignedMin)
+    assert(all.exists(_ < 0) || all.forall(_ >= 0)) // sanity
+  }
+}
