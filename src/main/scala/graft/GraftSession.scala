@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the environment-tuned configuration.
+  *
+  * Measured pathologies of this sandbox (see BENCH/BASELINE.md):
+  *  - every write() syscall costs ~3ms regardless of size → large IO buffers
+  *    (32k default shuffle buffers would cost ~100ms per shuffled MB);
+  *  - tmpfs (/dev/shm) additionally writes at ~10MB/s → scratch stays on the
+  *    disk-backed default temp dir;
+  *  - G1's barrier/refinement work collapses codegen throughput at high
+  *    thread counts → ParallelGC via build.sbt javaOptions;
+  *  - AQE's byte-based partition coalescing serializes CPU-dense byte-light
+  *    stages (suffix-array verify) → floor on post-shuffle parallelism.
+  */
+object GraftSession {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cores * 4).toString)
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "4m")
+      .config("spark.shuffle.spill.diskWriteBufferSize", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = builder(cores).appName(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -187,6 +187,44 @@ object SparkEntry {
         .where(col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     }),
+    "q_mips_signalsh" -> ((s, dir) => {
+      // SignALSH maximum-inner-product retrieval (asymmetric LSH, SURVEY §2.a
+      // ops #10-12): corpus side uses index_hash, probe side query_hash; an
+      // 8-bit prefix of the sign bits buckets candidates, exact hamming ranks.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      val maxnorm = e.select(
+        max(sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x),
+          lit(0.0), (acc, v) => acc + v)))).first().getDouble(0) * 1.001
+      val alsh = graft.core.SignAlsh(64, dim, maxnorm, seed = lshConfig.seed)
+      val idxUdf = udf((v: Seq[Float]) => alsh.indexHash(v.map(_.toDouble).toArray)(0))
+      val qryUdf = udf((v: Seq[Float]) => alsh.queryHash(v.map(_.toDouble).toArray)(0))
+      val corpus = e.select(col("vec_id"), idxUdf(col("embedding")).as("bits"))
+        .withColumn("bucket", col("bits").bitwiseAND(lit(255L)))
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), qryUdf(col("embedding")).as("qbits"))
+        .withColumn("bucket", col("qbits").bitwiseAND(lit(255L)))
+      val scored = broadcast(probes).join(corpus, Seq("bucket"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          GraftFunctions.hamming64Udf(col("qbits"), col("bits")).cast("long").as("hamming"))
+      val w = Window.partitionBy("probe_id").orderBy(col("hamming").asc, col("vec_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select("probe_id", "vec_id", "rnk", "hamming")
+        .orderBy("probe_id", "rnk")
+    }),
+    "q_lp_bucket" -> ((s, dir) => {
+      // p-stable L2 LSH bucketing (SURVEY §2.a ops #7-8): floor-quantized
+      // projections group vectors into distance-preserving buckets.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      val lp = graft.core.LpHasher(4, dim, scale = 2.0, power = 2, seed = lshConfig.seed)
+      val sigUdf = udf((v: Seq[Float]) => lp(v.map(_.toDouble).toArray))
+      e.select(col("vec_id"), sigUdf(col("embedding")).as("lp_sig"))
+        .withColumn("bucket", xxhash64(col("lp_sig").cast("string")))
+        .orderBy("vec_id")
+    }),
     // ------------------------------------------------------------ relational
     "q1_agg" -> ((s, dir) =>
       tbl(s, dir, "lineitem")

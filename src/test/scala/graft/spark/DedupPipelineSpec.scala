@@ -95,6 +95,23 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(strict == loose) // duplicate buckets here are tiny (≤3 docs)
   }
 
+  test("salting keeps hot-bucket duplicate groups connected under a tiny cap") {
+    import spark.implicits._
+    // 60 exact-duplicate docs → every band bucket is hot (size 60 > cap 10);
+    // plus unrelated background docs
+    val hotText = (1 to 100).map(i => s"hot$i word$i").mkString(" ")
+    val docs = ((0L until 60L).map(i => (i, hotText)) ++
+      (100L until 130L).map(i => (i, PagesGen.textFor(7L, i)))).toDF("id", "text")
+    val tiny = cfg.copy(maxBucket = 10, saltWindow = 4)
+    val salted = Dedup.clusters(docs, tiny).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 60L).forall(salted(_) == 0L),
+      s"hot docs not connected: ${(0L until 60L).map(salted).distinct.take(5)}")
+    // without salting the capped bucket leaves them all singletons
+    val noSalt = Dedup.clusters(docs, tiny.copy(saltWindow = 0)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 60L).forall(i => noSalt(i) == i))
+  }
+
   test("connected components handles chains and isolated vertices") {
     import spark.implicits._
     val vertices = (0L to 7L).toDF("id")

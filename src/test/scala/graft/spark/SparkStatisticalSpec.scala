@@ -57,7 +57,7 @@ class SparkStatisticalSpec extends AnyFunSuite {
     val viaSpark = texts.toDF("id", "text")
       .select(mh(sh($"text")).as("sig")).first().getSeq[Long](0)
     val direct = graft.core.MinHasher(16, 42L)(
-      GraftFunctions.shingleHashSet(GraftFunctions.wordNgrams(texts.head._2, 3), 42L))
+      GraftFunctions.wordNgramHashSet(texts.head._2, 3, 42L))
     assert(viaSpark == direct.toSeq)
   }
 
