@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import graft.core.Rng
+
+/** Primitive kernels shared by the interpreted and generated code paths.
+  * Operating directly on Catalyst ArrayData avoids the ScalaUDF round trip
+  * (ArrayData → Seq[Long] boxing → Array → ArrayData) on the two hottest
+  * per-row loops of the pipeline (SURVEY.md §4.2 "upgrade path"). */
+object MinHashKernel {
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  def laneSeeds(k: Int, seed: Long): Array[Long] =
+    seedCache.computeIfAbsent((k, seed), { case (kk, s) =>
+      Array.tabulate(kk)(i => Rng.derive(s, 0x4D494E48L + i.toLong))
+    })
+
+  /** MinHash signature (unsigned-min semantics, empty set → all -1L). */
+  def signature(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val seeds = laneSeeds(k, seed)
+    val n = shingles.numElements()
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val s = seeds(i)
+      var best = -1L
+      var bestKey = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = Rng.hash2(s, shingles.getLong(j))
+        val key = Rng.unsignedKey(h)
+        if (key < bestKey) { bestKey = key; best = h }
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band hashes from a k-lane signature (k = b·r). */
+  def bands(sig: ArrayData, b: Int, r: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](b)
+    var bi = 0
+    while (bi < b) {
+      var h = Rng.derive(seed, 0x42414E44L + bi.toLong)
+      var ri = 0
+      while (ri < r) { h = Rng.hash2(h, sig.getLong(bi * r + ri)); ri += 1 }
+      out(bi) = h
+      bi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen expression for the MinHash signature (same semantics as
+  * GraftFunctions.minhashSigUdf; ~no boxing, stays inside WholeStageCodegen). */
+case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signature(input.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.signature($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** Native codegen expression for LSH band hashes. */
+case class BandHashesExpr(child: Expression, b: Int, r: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.bands(input.asInstanceOf[ArrayData], b, r, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.bands($c, $b, $r, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_band_hashes"
+}
+
+/** Session registration so the expressions are reachable from the Column API
+  * (via call_function) and SQL. Idempotent. */
+object GraftExpressions {
+  private def lit2Int(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+  private def lit2Long(e: Expression): Long = e.eval().asInstanceOf[Number].longValue()
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => MinHashSignatureExpr(exprs(0), lit2Int(exprs(1)), lit2Long(exprs(2))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_band_hashes",
+      exprs => BandHashesExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2)), lit2Long(exprs(3))),
+      "built-in")
+  }
+}

@@ -55,20 +55,25 @@ final case class DedupConfig(
   */
 object Dedup {
 
-  /** Stage SHINGLE+SIGNATURE: id, shingles (sorted distinct hashes), sig. */
+  /** Stage SHINGLE+SIGNATURE: id, shingles (sorted distinct hashes), sig.
+    * The signature runs as a native codegen Expression (no UDF boxing). */
   def signatures(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val sh = GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
-    val mh = GraftFunctions.minhashSigUdf(cfg.numHashes, cfg.seed)
     docs
       .select(col("id"), sh(col("text")).as("shingles"))
-      .withColumn("sig", mh(col("shingles")))
+      .withColumn("sig",
+        call_function("graft_minhash_sig", col("shingles"), lit(cfg.numHashes), lit(cfg.seed)))
   }
 
   /** Stage BAND: one row per (doc, band) with the band's combined hash. */
   def bands(signatures: DataFrame, cfg: DedupConfig): DataFrame = {
-    val bh = GraftFunctions.bandHashesUdf(cfg.bands, cfg.rowsPerBand, cfg.seed)
+    graft.functions.GraftExpressions.register(signatures.sparkSession)
     signatures
-      .select(col("id"), posexplode(bh(col("sig"))).as(Seq("band_idx", "band_hash")))
+      .select(col("id"),
+        posexplode(call_function("graft_band_hashes",
+          col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand), lit(cfg.seed)))
+          .as(Seq("band_idx", "band_hash")))
   }
 
   /** Bucket census: size of every (band_idx, band_hash) bucket — used both to
