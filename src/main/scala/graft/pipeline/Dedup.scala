@@ -66,20 +66,26 @@ object Dedup {
         call_function("graft_minhash_sig", col("shingles"), lit(cfg.numHashes), lit(cfg.seed)))
   }
 
-  /** Stage BAND: one row per (doc, band) with the band's combined hash. */
+  /** Stage BAND: one row per (doc, band), keyed by the band's combined hash
+    * alone. The band INDEX is already folded into the hash seed
+    * (graft_band_hashes derives a distinct seed per band), so carrying a
+    * separate band_idx column through the bucket shuffle is redundant weight —
+    * at 10^12 docs × b bands that column alone is tens of TB of shuffle.
+    * A cross-band 64-bit collision merely creates one extra candidate pair,
+    * which exact verification then adjudicates. */
   def bands(signatures: DataFrame, cfg: DedupConfig): DataFrame = {
     graft.functions.GraftExpressions.register(signatures.sparkSession)
     signatures
       .select(col("id"),
-        posexplode(call_function("graft_band_hashes",
+        explode(call_function("graft_band_hashes",
           col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand), lit(cfg.seed)))
-          .as(Seq("band_idx", "band_hash")))
+          .as("band_hash"))
   }
 
-  /** Bucket census: size of every (band_idx, band_hash) bucket — used both to
-    * prune hot buckets before any collect and for skew metrics. */
+  /** Bucket census: size of every band_hash bucket — used both to prune hot
+    * buckets before any collect and for skew metrics. */
   def bucketCensus(bands: DataFrame): DataFrame =
-    bands.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_size"))
+    bands.groupBy("band_hash").agg(count(lit(1)).as("bucket_size"))
 
   /** Stage CANDIDATES: within-bucket pairs via a bucket-key SELF-JOIN,
     * deduped across bands (OR-amplification = any shared band ⇒ candidate).
@@ -97,49 +103,90 @@ object Dedup {
 
   /** Pair generation with a (possibly cached) census supplied by the caller. */
   def candidatesFromCensus(bands: DataFrame, census: DataFrame, cfg: DedupConfig): DataFrame = {
-    val keys = Seq("band_idx", "band_hash")
     val ok = bands.join(
-      census.where(col("bucket_size").between(2, cfg.maxBucket)).select(keys.map(col): _*),
-      keys)
-    ok.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-      .join(ok.select(col("band_idx"), col("band_hash"), col("id").as("id_b")), keys)
+      census.where(col("bucket_size").between(2, cfg.maxBucket)).select("band_hash"),
+      "band_hash")
+    ok.select(col("band_hash"), col("id").as("id_a"))
+      .join(ok.select(col("band_hash"), col("id").as("id_b")), "band_hash")
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** SALTED pairing for hot buckets (explicit skew handling, north rule):
-    * members of buckets larger than cfg.maxBucket are ordered by
-    * (signature lane 0, id) and each is paired with its next saltWindow
-    * neighbors. Duplicates share lane 0 with probability ≈ J, so true dup
-    * groups sort adjacent and remain CONNECTED (what clustering needs) while
-    * a boilerplate bucket of n docs emits O(n·W) pairs instead of O(n²).
-    * The hot-member relation is proportional to hot data only (the key set
-    * is broadcast), and every emitted pair still passes exact verification. */
+  /** Hot-bucket members split into bounded SALT CELLS (explicit skew
+    * handling, north rule). Members of buckets larger than cfg.maxBucket are
+    * scattered into ceil(n/maxBucket) cells by a salted hash of the doc id,
+    * so NO single task ever receives a whole hot bucket — the round-1 design
+    * windowed over the entire bucket, which put a 10⁸-member boilerplate
+    * bucket on one executor. Returns (band_hash, cell, id, sort_key) with
+    * sort_key = signature lane 0 (near-duplicates share lane 0 with
+    * probability ≈ J, so dup-group members sort adjacent within a cell). */
+  def saltedCells(
+      bands: DataFrame,
+      census: DataFrame,
+      signatures: DataFrame,
+      cfg: DedupConfig): DataFrame = {
+    val hotKeys = census
+      .where(col("bucket_size") > cfg.maxBucket)
+      .select(col("band_hash"),
+        ceil(col("bucket_size").cast("double") / cfg.maxBucket).cast("int").as("n_cells"))
+    bands
+      .join(broadcast(hotKeys), "band_hash")
+      .join(signatures.select(col("id"), element_at(col("sig"), 1).as("sort_key")), "id")
+      .select(col("band_hash"),
+        pmod(xxhash64(col("id"), col("band_hash")), col("n_cells")).as("cell"),
+        col("id"), col("sort_key"))
+  }
+
+  /** SALTED pairing for hot buckets: O(n·W) pairs for an n-member bucket,
+    * with every window task bounded by the cell size (~maxBucket).
+    *
+    *  1. INTRA-CELL chains: within each (band_hash, cell), members are
+    *     ordered by (sort_key, id) and paired with their next saltWindow
+    *     neighbors — true dup groups sort adjacent (shared lane 0) and stay
+    *     connected inside the cell.
+    *  2. CROSS-CELL STITCHING: a dup group scattered across cells would
+    *     otherwise fragment, so for every (band_hash, cell, sort_key) run we
+    *     elect the min-id representative and chain the representatives of the
+    *     SAME sort_key across cells. That partition holds at most n_cells
+    *     (= n/maxBucket) rows — bounded — and links every fragment of an
+    *     equal-lane-0 group. Groups whose members differ in lane 0 still
+    *     connect through intra-cell adjacency, as in the unsalted design.
+    *
+    * Every emitted pair still passes exact verification, so salting can only
+    * lose recall (disclosed via the census metrics), never precision. */
   def saltedHotPairs(
       bands: DataFrame,
       census: DataFrame,
       signatures: DataFrame,
       cfg: DedupConfig): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hotKeys = census
-      .where(col("bucket_size") > cfg.maxBucket)
-      .select("band_idx", "band_hash")
-    val hotMembers = bands
-      .join(broadcast(hotKeys), Seq("band_idx", "band_hash"))
-      .join(signatures.select(col("id"), element_at(col("sig"), 1).as("sort_key")), "id")
-    val w = Window.partitionBy("band_idx", "band_hash").orderBy("sort_key", "id")
-    val ranked = hotMembers.withColumn("rn", row_number().over(w))
+    val cells = saltedCells(bands, census, signatures, cfg)
+    val w = Window.partitionBy("band_hash", "cell").orderBy("sort_key", "id")
+    val ranked = cells.withColumn("rn", row_number().over(w))
     val left = ranked
-      .select(col("band_idx"), col("band_hash"), col("id").as("l_id"), col("rn"),
+      .select(col("band_hash"), col("cell"), col("id").as("l_id"), col("rn"),
         explode(sequence(lit(1), lit(cfg.saltWindow))).as("off"))
-      .select(col("band_idx"), col("band_hash"), col("l_id"), (col("rn") + col("off")).as("rn"))
-    left
-      .join(ranked.select(col("band_idx"), col("band_hash"), col("id").as("r_id"), col("rn")),
-        Seq("band_idx", "band_hash", "rn"))
+      .select(col("band_hash"), col("cell"), col("l_id"), (col("rn") + col("off")).as("rn"))
+    val intra = left
+      .join(ranked.select(col("band_hash"), col("cell"), col("id").as("r_id"), col("rn")),
+        Seq("band_hash", "cell", "rn"))
+      .select(col("l_id"), col("r_id"))
+
+    val reps = cells.groupBy("band_hash", "cell", "sort_key").agg(min("id").as("id"))
+    val wr = Window.partitionBy("band_hash", "sort_key").orderBy("id")
+    val repRanked = reps.withColumn("rn", row_number().over(wr))
+    val stitch = repRanked
+      .select(col("band_hash"), col("sort_key"), col("id").as("l_id"), (col("rn") + 1).as("rn"))
+      .join(repRanked.select(col("band_hash"), col("sort_key"), col("id").as("r_id"), col("rn")),
+        Seq("band_hash", "sort_key", "rn"))
+      .select(col("l_id"), col("r_id"))
+
+    intra.union(stitch)
       .select(
         least(col("l_id"), col("r_id")).as("id_a"),
         greatest(col("l_id"), col("r_id")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

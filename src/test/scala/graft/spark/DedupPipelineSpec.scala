@@ -112,6 +112,27 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert((0L until 60L).forall(i => noSalt(i) == i))
   }
 
+  test("salting splits hot buckets into bounded cells (no whole-bucket task)") {
+    import spark.implicits._
+    // 500 exact duplicates → every band bucket has 500 members, cap 50:
+    // the window partition (band_hash, cell) must never see the whole bucket
+    val hotText = (1 to 80).map(i => s"tok$i filler$i").mkString(" ")
+    val docs = (0L until 500L).map(i => (i, hotText)).toDF("id", "text")
+    val tiny = cfg.copy(maxBucket = 50, saltWindow = 4)
+    val sigs = Dedup.signatures(docs, tiny)
+    val bandsDf = Dedup.bands(sigs, tiny)
+    val census = Dedup.bucketCensus(bandsDf)
+    val cells = Dedup.saltedCells(bandsDf, census, sigs, tiny)
+    val maxCell = cells.groupBy("band_hash", "cell")
+      .count().agg(max("count")).first().getLong(0)
+    assert(maxCell < 2L * tiny.maxBucket, s"cell of $maxCell rows > 2×cap")
+    // and the scattered fragments still come back as ONE cluster
+    val clustered = Dedup.clusters(docs, tiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clustered.forall(_._2 == 0L),
+      s"fragmented: ${clustered.map(_._2).distinct.take(5).mkString(",")}")
+  }
+
   test("connected components handles chains and isolated vertices") {
     import spark.implicits._
     val vertices = (0L to 7L).toDF("id")
@@ -119,5 +140,26 @@ class DedupPipelineSpec extends AnyFunSuite {
     val got = ConnectedComponents.run(vertices, edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connected components converges on a long path graph (pointer jumping)") {
+    import spark.implicits._
+    // a 600-vertex path has diameter 599: plain min-propagation would need
+    // 599 rounds (the salted-hot-bucket failure mode); jumping needs ~12
+    val n = 600L
+    val vertices = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.run(vertices, edges, maxIter = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
+  test("connected components throws loudly when maxIter is hit before fixpoint") {
+    import spark.implicits._
+    val vertices = (0L to 4L).toDF("id")
+    val edges = (0L to 3L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.run(vertices, edges, maxIter = 1).collect()
+    }
   }
 }
