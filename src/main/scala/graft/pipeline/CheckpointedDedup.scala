@@ -62,13 +62,24 @@ object CheckpointedDedup {
     }
 
     // each stage's hash salts ONLY the config fields it actually reads, so a
-    // change to (say) the verify threshold leaves upstream checkpoints valid
-    val h0 = chainHash("root", "docs", "v1")
+    // change to (say) the verify threshold leaves upstream checkpoints valid.
+    // The docs stage additionally folds an INPUT FINGERPRINT (row count +
+    // order-independent xor of per-row hashes over url, text length, and a
+    // 256-char content sample — one scan) into its hash: pointing the same
+    // baseDir at different input must invalidate the whole chain, not
+    // silently resume over a stale corpus. Re-crawls that change a page's
+    // text change the fingerprint even when the url set is identical.
+    val fp = pages
+      .agg(count(lit(1)).cast("long").as("n"),
+        expr("bit_xor(xxhash64(url, length(text), substring(text, 1, 256)))").as("x"))
+      .first()
+    val h0 = chainHash("root", "docs", s"v2:${fp.getLong(0)}:${fp.getLong(1)}")
     val docsStage = stage("docs", h0) {
       // stable doc id = seeded hash of url (no monotonically_increasing_id —
-      // that is partition-dependent and breaks cross-run determinism)
-      val idUdf = udf((url: String) => Rng.hashString(0x55524C49L, url))
-      pages.select(idUdf(col("url")).as("id"), col("url"), col("text"))
+      // that is partition-dependent and breaks cross-run determinism), with
+      // birthday collisions detected and rehashed away (DocIds: a 64-bit
+      // url hash alone silently merges ~3×10⁴ doc pairs at 10^12 docs)
+      DocIds.assign(pages).select(col("id"), col("url"), col("text"))
     }
 
     val h1 = chainHash(h0, "shingles", s"${cfg.shingleWords}:${cfg.seed}")
@@ -83,7 +94,10 @@ object CheckpointedDedup {
       shinglesStage.df.select(col("id"), mh(col("shingles")).as("sig"))
     }
 
-    val h3 = chainHash(h2, "candidates", s"${cfg.bands}:${cfg.maxBucket}")
+    // saltWindow is in the salt because the stage READS it (gates salted
+    // hot-pair generation) — without it a saltWindow change would resume
+    // from a stale candidates checkpoint and corrupt downstream pairs
+    val h3 = chainHash(h2, "candidates", s"${cfg.bands}:${cfg.maxBucket}:${cfg.saltWindow}")
     // the census is cached so the skew disclosure, the pruning join, and the
     // hot-bucket salting all share one computation of the exploded bands
     var censusStats: Map[String, String] = Map.empty

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Rng
+
+/** Deterministic, collision-FREE 64-bit doc ids from urls.
+  *
+  * A bare 64-bit hash of the url is not collision-free at the design scale:
+  * at 10^12 docs the birthday bound expects ≈ n²/2⁶⁵ ≈ 3×10⁴ colliding
+  * pairs, each of which would silently merge two unrelated documents before
+  * dedup even runs. Instead of widening every downstream key to 128 bits
+  * (doubling the shuffle width of the whole pipeline for a 10⁻⁸ event), we
+  * DETECT collisions with one groupBy census at ingest and REHASH only the
+  * colliding rows with a second independent url lane, repeating until no
+  * collisions remain (expected rounds: 1; the census after the first rehash
+  * is over ~10⁴ keys). The result is a function of the input url SET only —
+  * independent of partitioning and cluster size — so ids remain stable
+  * across runs, resumes, and parallelism levels.
+  */
+object DocIds {
+
+  /** Default primary lane: seeded 64-bit hash of the url. */
+  def primaryHash(url: Column): Column =
+    udf((u: String) => Rng.hashString(0x55524C49L, u)).apply(url)
+
+  private val rehash =
+    udf((id: Long, url: String) => Rng.hash2(id, Rng.hashString(0x5345434FL, url)))
+
+  /** Assign a unique `id` to every distinct url.
+    *
+    * @param pages input with a `url` column (exact repeat crawls — duplicate
+    *              urls — are collapsed to one row first; the input contract
+    *              is byte-identical text per url)
+    * @param primary the initial id column (injectable so tests can force
+    *                collisions; production uses [[primaryHash]])
+    * @throws IllegalStateException if collisions persist after maxRounds
+    *                               (cannot happen with 64-bit rehashing
+    *                               unless two rows share a url post-dedup)
+    */
+  def assign(
+      pages: DataFrame,
+      primary: Column,
+      maxRounds: Int = 5): DataFrame = {
+    var df = pages.dropDuplicates("url").withColumn("id", primary)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val colliding = df.groupBy("id").count().where(col("count") > 1).select("id")
+      if (colliding.isEmpty) done = true
+      else {
+        df = df
+          .join(broadcast(colliding.withColumn("collides", lit(true))), Seq("id"), "left")
+          .withColumn("id",
+            when(col("collides"), rehash(col("id"), col("url"))).otherwise(col("id")))
+          .drop("collides")
+          .localCheckpoint(true) // ids are final data, not a recomputable plan
+        round += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"doc-id collisions persist after $maxRounds rehash rounds — duplicate urls?")
+    df
+  }
+
+  def assign(pages: DataFrame): DataFrame = assign(pages, primaryHash(col("url")))
+}

@@ -63,6 +63,21 @@ class CheckpointedDedupSpec extends AnyFunSuite {
     // threshold only enters at verified_pairs → upstream stays checkpointed
     val second = CheckpointedDedup.run(spark, pages, cfg.copy(threshold = 0.6), base)
     assert(second.recomputedStages == Seq("verified_pairs", "clusters"))
+    // saltWindow gates salted hot-pair generation inside candidates → its
+    // change must invalidate candidates onward (ADVICE round 1)
+    val third = CheckpointedDedup.run(spark, pages, cfg.copy(threshold = 0.6, saltWindow = 3), base)
+    assert(third.recomputedStages == Seq("candidates", "verified_pairs", "clusters"))
+    rmrf(base)
+  }
+
+  test("different input against the same baseDir invalidates every stage") {
+    val base = freshDir()
+    CheckpointedDedup.run(spark, PagesGen.pages(spark, 80, 0L, 4), cfg, base)
+    // same row count, different content (seed) — the input fingerprint in
+    // the docs-stage hash must force a full recompute, not a stale resume
+    val second = CheckpointedDedup.run(spark, PagesGen.pages(spark, 80, 1L, 4), cfg, base)
+    assert(second.recomputedStages.toSet ==
+      Set("docs", "shingles", "signatures", "candidates", "verified_pairs", "clusters"))
     rmrf(base)
   }
 
