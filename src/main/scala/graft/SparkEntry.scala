@@ -44,10 +44,12 @@ object SparkEntry {
   private[graft] object Planes {
     import CrossEngine._
     val Dim = 64
-    // ANN: 8 tables × 4 bits = 32 Rademacher hyperplanes (sf-scale: 500-2000
-    // vectors → ~n/16 per bucket per table); census cap 200 mirrors the
-    // minhash path's hot-bucket gate and is replicated in the oracle
-    val AnnTables = 8; val AnnBits = 4; val AnnCap = 200L
+    // ANN: 8 tables × 6 bits = 48 Rademacher hyperplanes. 6 bits is the
+    // bitsForCorpus value for the bench corpus (n=2000, target bucket ~30);
+    // at 4 bits the ~n/16 buckets made candidate generation the dominant
+    // cost. Census cap 200 mirrors the minhash path's hot-bucket gate and
+    // is replicated in the oracle.
+    val AnnTables = 8; val AnnBits = 6; val AnnCap = 200L
     lazy val ann: Array[Array[Long]] =
       Array.tabulate(AnnTables * AnnBits)(p =>
         Array.tabulate(Dim)(i => rademacher("ann", p, i).toLong))
@@ -85,10 +87,26 @@ object SparkEntry {
     * broadcast back in). Shingle representation is pluggable (word n-grams /
     * char n-grams as 64-bit hash sets — set Jaccard is representation-
     * independent up to 2⁻⁶⁴ collisions, which is how the DuckDB string-set
-    * oracle can gate the hashed form bitwise). */
+    * oracle can gate the hashed form bitwise).
+    *
+    * dfCap (document-frequency cap): shingles occurring in more than dfCap
+    * docs are dropped from BOTH the sizes and the intersections — i.e. the
+    * Jaccard is over the df-capped shingle sets, a semantics the oracle
+    * replicates exactly. Without it one boilerplate shingle of df d is an
+    * O(d²) join bucket (at sf0.1 the uncapped char-5-gram form ran 266 s;
+    * capped: ~2 s); true near-dup shingles have tiny df, so near-dup
+    * Jaccard is essentially unchanged. */
   private def jaccardPairsBy(
-      d: DataFrame, threshold: Double, shingles: Column => Column): DataFrame = {
-    val sh = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      d: DataFrame, threshold: Double, shingles: Column => Column,
+      dfCap: Option[Long] = None): DataFrame = {
+    val shAll = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val sh = dfCap match {
+      case Some(cap) =>
+        shAll.join(
+          shAll.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s"),
+          "s")
+      case None => shAll
+    }
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -157,9 +175,12 @@ object SparkEntry {
         GraftFunctions.shingleHashesUdf(3, lshConfig.seed)(_))),
     "q_chargram_jaccard_pairs" -> ((s, dir) =>
       // char-5-gram shingles (the reference's MinHash input is ANY symbol
-      // set, minhash.jl:146-170; north star: "character/word shingles")
+      // set, minhash.jl:146-170; north star: "character/word shingles").
+      // df-capped at 50: the boilerplate-shingle O(df²) bucket guard the
+      // word-trigram form (q_ngram, left uncapped as the exact oracle)
+      // would need at real scale — VERDICT r1 What's wrong #6.
       jaccardPairsBy(docs(s, dir), 0.5,
-        GraftFunctions.charShingleHashesUdf(5, lshConfig.seed)(_))),
+        GraftFunctions.charShingleHashesUdf(5, lshConfig.seed)(_), dfCap = Some(50L))),
     // ------------------------------------------------------------ LSH dedup
     "q_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(docsAsCorpus(s, dir), lshConfig)
@@ -199,13 +220,14 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     // ---------------------------------------------------- similarity search
     "q_embedding_topk" -> ((s, dir) => {
+      graft.functions.GraftExpressions.register(s)
       val q = tbl(s, dir, "embeddings")
         .select(col("vec_id"), GraftFunctions.quantize(col("embedding")).as("v"))
       val probes = q.where(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
       val scored = broadcast(probes).join(q, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          GraftFunctions.cosineQuantized(col("pv"), col("v")).as("cos_sim"))
+          call_function("graft_cosq", col("pv"), col("v")).as("cos_sim"))
       val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 10)
@@ -221,11 +243,14 @@ object SparkEntry {
       // re-joined after the shuffle — VERDICT r1 What's wrong #2), exact
       // quantized-cosine rerank. Integer plane dots keep the whole bucket
       // derivation reproducible in the DuckDB oracle.
+      graft.functions.GraftExpressions.register(s)
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), GraftFunctions.quantize(col("embedding")).as("v"))
-      val sig = (0 until Planes.AnnTables * Planes.AnnBits).map { p =>
-        when(CrossEngine.dotConst(col("v"), Planes.ann(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      // packed sign bits via the native codegen kernel (one fused loop; the
+      // 32 aggregate/zip_with higher-order forms ran interpreted and cost
+      // ~4s warm at sf0.1) — value-identical to the md5-derived oracle planes
+      val sig = call_function("graft_plane_bits", col("v"), lit("ann"),
+        lit(Planes.AnnTables * Planes.AnnBits))
       val buckets = e.withColumn("g", sig).select(col("vec_id"),
         posexplode(array((0 until Planes.AnnTables).map(t =>
           shiftrightunsigned(col("g"), t * Planes.AnnBits)
@@ -245,7 +270,7 @@ object SparkEntry {
         .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
-          GraftFunctions.cosineQuantized(col("va"), col("vb")).as("cos_sim"))
+          call_function("graft_cosq", col("va"), col("vb")).as("cos_sim"))
         .where(col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     }),
@@ -256,16 +281,22 @@ object SparkEntry {
       // components; 16 Rademacher sign planes; 6-bit bucket prefix; exact
       // hamming rank. maxnorm (M2 = max ∫v·v) is computed IN-PLAN and
       // broadcast — no driver-side .first() actions (VERDICT r1 #2c).
+      graft.functions.GraftExpressions.register(s)
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), GraftFunctions.quantize(col("embedding")).as("v"))
       val m2 = e.agg(max(GraftFunctions.dotLong(col("v"), col("v"))).as("m2"))
       val base = e.crossJoin(broadcast(m2))
         .withColumn("nv", GraftFunctions.dotLong(col("v"), col("v")))
+        // all 16 raw plane dots in one fused codegen pass; the double
+        // arithmetic below stays in Catalyst built-ins so the IEEE op
+        // sequence matches the oracle SQL exactly
+        .withColumn("pd", call_function("graft_plane_dots", col("v"), lit("mips"),
+          lit(Planes.MipsPlanes)))
       val m2d = col("m2").cast("double")
       val n2 = col("nv").cast("double") / m2d
       val n2sq = n2 * n2
       def idxTerm(p: Int): Column = {
-        val d = CrossEngine.dotConst(col("v"), Planes.mips(p)).cast("double") / sqrt(m2d)
+        val d = element_at(col("pd"), p + 1).cast("double") / sqrt(m2d)
         val Array(sa, sb, sc) = Planes.mipsNorm(p)
         d + lit(sa.toDouble) * (lit(0.5) - n2) +
           lit(sb.toDouble) * (lit(0.5) - n2sq) +
@@ -276,7 +307,7 @@ object SparkEntry {
       val corpus = base.select(col("vec_id"), idxBits.as("bits"))
         .withColumn("bucket", col("bits").bitwiseAND(lit(63L)))
       val qryBits = (0 until Planes.MipsPlanes).map { p =>
-        when(CrossEngine.dotConst(col("v"), Planes.mips(p)).cast("double") /
+        when(element_at(col("pd"), p + 1).cast("double") /
           sqrt(col("nv").cast("double")) >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
       val probes = base.where(col("vec_id") < 5)
@@ -406,8 +437,10 @@ object SparkEntry {
         s"""WITH $pairCtes
            |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
       "q_chargram_jaccard_pairs" ->
-        """WITH sh AS (SELECT DISTINCT doc_id, s
+        """WITH sh0 AS (SELECT DISTINCT doc_id, s
           |            FROM documents, UNNEST(list_transform(range(1, greatest(length(text)-3, 1)), i -> substring(text, CAST(i AS INTEGER), 5))) u(s)),
+          |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+          |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep ON keep.s = sh0.s),
           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
           |jac AS (SELECT doc_a, doc_b, CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
@@ -453,12 +486,12 @@ object SparkEntry {
           |r AS (SELECT probe_id, vec_id, cos_sim, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
           |SELECT probe_id, vec_id, CAST(rk AS BIGINT) AS rnk, cos_sim FROM r WHERE rk <= 10 ORDER BY probe_id, rnk""".stripMargin,
       "q_embedding_lsh_ann" ->
-        s"""WITH pl AS (SELECT p, list_transform(range(0,64), i -> ${rad("ann", "p", "i")}) AS s FROM range(0,32) r(p)),
+        s"""WITH pl AS (SELECT p, list_transform(range(0,64), i -> ${rad("ann", "p", "i")}) AS s FROM range(0,48) r(p)),
            |$qVec,
            |sig AS (SELECT q.vec_id, CAST(sum(CASE WHEN list_sum(list_transform(range(1,65), i -> pl.s[i]*q.v[i])) >= 0
            |            THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS g
            |        FROM q, pl GROUP BY q.vec_id),
-           |bk AS (SELECT vec_id, t AS table_idx, (g >> CAST(4*t AS INTEGER)) & 15 AS bucket FROM sig, range(0,8) r(t)),
+           |bk AS (SELECT vec_id, t AS table_idx, (g >> CAST(6*t AS INTEGER)) & 63 AS bucket FROM sig, range(0,8) r(t)),
            |okb AS (SELECT table_idx, bucket FROM bk GROUP BY table_idx, bucket HAVING count(*) BETWEEN 2 AND 200),
            |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            |         FROM bk a JOIN bk b ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id

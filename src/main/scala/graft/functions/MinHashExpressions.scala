@@ -100,6 +100,7 @@ case class BandHashesExpr(child: Expression, b: Int, r: Int, seed: Long)
 object GraftExpressions {
   private def lit2Int(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
   private def lit2Long(e: Expression): Long = e.eval().asInstanceOf[Number].longValue()
+  private def lit2Str(e: Expression): String = e.eval().toString
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -110,6 +111,18 @@ object GraftExpressions {
     registry.createOrReplaceTempFunction(
       "graft_band_hashes",
       exprs => BandHashesExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2)), lit2Long(exprs(3))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_plane_bits",
+      exprs => PlaneBitsExpr(exprs(0), lit2Str(exprs(1)), lit2Int(exprs(2))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_plane_dots",
+      exprs => PlaneDotsExpr(exprs(0), lit2Str(exprs(1)), lit2Int(exprs(2))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_cosq",
+      exprs => CosineQuantizedExpr(exprs(0), exprs(1)),
       "built-in")
   }
 }

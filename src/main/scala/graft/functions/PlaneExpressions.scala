@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native codegen kernels for the embedding-LSH hot loops.
+  *
+  * Spark's higher-order functions (aggregate/zip_with/transform) are
+  * evaluated INTERPRETED — one lambda invocation plus boxing per element,
+  * and an intermediate array per zip_with. The ANN query's 32 plane dots ×
+  * 64 dims × (census + both join sides) and its per-candidate cosine rerank
+  * made that the dominant warm-run cost (measured ~4 s at sf0.1). These
+  * expressions compute the same values in tight JVM loops inside
+  * whole-stage codegen — bitwise-identical results (exact integer dots;
+  * the cosine performs the identical IEEE op sequence dot/(√na·√nb)), so
+  * the DuckDB oracle parity is unaffected.
+  */
+object PlaneKernel {
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Long]]]()
+
+  /** Rademacher plane matrix for (tag, nPlanes, dim) — derivation matches
+    * CrossEngine.rademacher, i.e. the md5 CASE expression in the oracles. */
+  def planes(tag: String, n: Int, dim: Int): Array[Array[Long]] =
+    planeCache.computeIfAbsent((tag, n, dim), { case (t, nn, d) =>
+      Array.tabulate(nn)(p => Array.tabulate(d)(i => CrossEngine.rademacher(t, p, i).toLong))
+    })
+
+  /** Packed sign bits: bit p set iff plane-p dot ≥ 0. */
+  def bits(v: ArrayData, tag: String, n: Int): Long = {
+    val dim = v.numElements()
+    val pl = planes(tag, n, dim)
+    var fp = 0L
+    var p = 0
+    while (p < n) {
+      val row = pl(p)
+      var dot = 0L
+      var i = 0
+      while (i < dim) { dot += row(i) * v.getLong(i); i += 1 }
+      if (dot >= 0) fp |= (1L << p)
+      p += 1
+    }
+    fp
+  }
+
+  /** Raw plane dot products (for transforms that add norm terms, e.g.
+    * SignALSH's P-transform). */
+  def dots(v: ArrayData, tag: String, n: Int): ArrayData = {
+    val dim = v.numElements()
+    val pl = planes(tag, n, dim)
+    val out = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      val row = pl(p)
+      var dot = 0L
+      var i = 0
+      while (i < dim) { dot += row(i) * v.getLong(i); i += 1 }
+      out(p) = dot
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact quantized cosine: identical IEEE sequence to the built-in tree
+    * cast(dot)/(sqrt(cast(na))*sqrt(cast(nb))) — bitwise-equal output. */
+  def cosq(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+}
+
+private[functions] trait LongArrayInput { self: Expression =>
+  def arrayInputCheck(dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+  }
+}
+
+/** graft_plane_bits(v, tag, n): packed Rademacher-hyperplane sign bits. */
+case class PlaneBitsExpr(child: Expression, tag: String, n: Int)
+    extends UnaryExpression with LongArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult = arrayInputCheck(child.dataType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    PlaneKernel.bits(input.asInstanceOf[ArrayData], tag, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"""graft.functions.PlaneKernel.bits($c, "$tag", $n)""")
+  override protected def withNewChildInternal(newChild: Expression): PlaneBitsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_plane_bits"
+}
+
+/** graft_plane_dots(v, tag, n): raw integer plane dot products. */
+case class PlaneDotsExpr(child: Expression, tag: String, n: Int)
+    extends UnaryExpression with LongArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult = arrayInputCheck(child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    PlaneKernel.dots(input.asInstanceOf[ArrayData], tag, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"""graft.functions.PlaneKernel.dots($c, "$tag", $n)""")
+  override protected def withNewChildInternal(newChild: Expression): PlaneDotsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_plane_dots"
+}
+
+/** graft_cosq(a, b): exact quantized-int cosine, one fused loop. */
+case class CosineQuantizedExpr(left: Expression, right: Expression)
+    extends BinaryExpression with LongArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = arrayInputCheck(left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else arrayInputCheck(right.dataType)
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PlaneKernel.cosq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PlaneKernel.cosq($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineQuantizedExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosq"
+}

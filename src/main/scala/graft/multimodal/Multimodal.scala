@@ -14,8 +14,10 @@ import graft.core.Rng
   * [[StubDecoder.decode]]; every Spark contract stays identical.
   *
   * At 100 TB the working set is dominated by the binary column: the scan
-  * must prune it unless requested (parquet column pruning — verified in
-  * MultimodalSpec by checking the ReadSchema of a metadata-only query).
+  * must prune it unless requested. MultimodalSpec verifies this on a real
+  * parquet scan: a query touching only (id, kind) has a ReadSchema WITHOUT
+  * `bytes`, while [[metadata]] (whose n_bytes/magic derive from the payload)
+  * legitimately reads it — via codegen'd column ops, never the decoder.
   */
 object Multimodal {
 

@@ -82,9 +82,11 @@ object CheckpointedDedup {
       DocIds.assign(pages).select(col("id"), col("url"), col("text"))
     }
 
-    val h1 = chainHash(h0, "shingles", s"${cfg.shingleWords}:${cfg.seed}")
+    val h1 = chainHash(h0, "shingles", s"${cfg.shingleWords}:${cfg.charShingles}:${cfg.seed}")
     val shinglesStage = stage("shingles", h1) {
-      val sh = GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
+      val sh =
+        if (cfg.charShingles > 0) GraftFunctions.charShingleHashesUdf(cfg.charShingles, cfg.seed)
+        else GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
       docsStage.df.select(col("id"), sh(col("text")).as("shingles"))
     }
 

@@ -13,6 +13,10 @@ import graft.functions.GraftFunctions
   */
 final case class DedupConfig(
     shingleWords: Int = 3,
+    /** > 0 switches shingling to character n-grams of this length (the
+      * reference's MinHash input is ANY symbol set, minhash.jl:146-170;
+      * north star names "character/word shingles"). 0 = word mode. */
+    charShingles: Int = 0,
     numHashes: Int = 126,
     bands: Int = 42,
     threshold: Double = 0.5,
@@ -59,7 +63,9 @@ object Dedup {
     * The signature runs as a native codegen Expression (no UDF boxing). */
   def signatures(docs: DataFrame, cfg: DedupConfig): DataFrame = {
     graft.functions.GraftExpressions.register(docs.sparkSession)
-    val sh = GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
+    val sh =
+      if (cfg.charShingles > 0) GraftFunctions.charShingleHashesUdf(cfg.charShingles, cfg.seed)
+      else GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
     docs
       .select(col("id"), sh(col("text")).as("shingles"))
       .withColumn("sig",
@@ -223,6 +229,12 @@ object Dedup {
     (verify(pairs, sigs.select("id", "shingles"), cfg), sigs)
   }
 
+  /** Convenience form that leaves the signature cache pinned for the session
+    * (the plan is lazy, so it cannot be released before the caller's action).
+    * Callers that fully materialize the result and need the memory back must
+    * use [[nearDupPairsWithHandle]] and unpersist the handle — as
+    * [[clusters]] does — or call `spark.catalog.clearCache()` afterwards
+    * (what Bench/Verify do between queries). */
   def nearDupPairs(docs: DataFrame, cfg: DedupConfig): DataFrame =
     nearDupPairsWithHandle(docs, cfg)._1
 

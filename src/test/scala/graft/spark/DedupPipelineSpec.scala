@@ -112,6 +112,30 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert((0L until 60L).forall(i => noSalt(i) == i))
   }
 
+  test("char-shingle mode end-to-end: recall ≥ 0.99 + perfect precision vs char-gram truth") {
+    // the reference's MinHash input is ANY symbol set (minhash.jl:146-170);
+    // char-5-gram mode exercises the full pipeline on character shingles.
+    // Char-gram Jaccard of the planted mutations is higher than word-trigram
+    // Jaccard (a changed word only disturbs ±4 chars of context), so the
+    // clusters at threshold 0.5 are at least the word-mode ones.
+    val n = 200L
+    val ccfg = cfg.copy(charShingles = 5)
+    val texts = (0L until n).map(i => i -> PagesGen.textFor(0L, i)).toMap
+    val shingles = texts.map { case (id, t) =>
+      id -> GraftFunctions.shingleHashSet(GraftFunctions.charNgrams(t, 5), ccfg.seed)
+    }
+    val truth = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      if Similarities.jaccardSorted(shingles(a), shingles(b)) >= ccfg.threshold
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty)
+    val found = Dedup.nearDupPairs(PagesGen.corpus(spark, n, 0L, 8), ccfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.99, s"char-mode recall=$recall (${truth.size} truth, ${found.size} found)")
+    assert(found.subsetOf(truth), s"false positives: ${found.diff(truth).take(5)}")
+  }
+
   test("salting splits hot buckets into bounded cells (no whole-bucket task)") {
     import spark.implicits._
     // 500 exact duplicates → every band bucket has 500 members, cap 50:

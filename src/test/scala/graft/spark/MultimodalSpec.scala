@@ -33,4 +33,27 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = Multimodal.metadata(media.toDF()).queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("mappartitions"))
   }
+
+  test("parquet scan prunes the binary column for queries that don't need it") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    try {
+      Multimodal.fakeMediaFromDocs(spark, docsPath).write.mode("overwrite").parquet(dir)
+      val media = spark.read.parquet(dir)
+      def readSchema(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+          .linesIterator.filter(_.contains("ReadSchema")).mkString
+      // (id, kind) projection: the 100-TB payload column must not be scanned
+      val pruned = readSchema(media.select(col("id"), col("kind")))
+      assert(pruned.nonEmpty && !pruned.contains("bytes"), s"bytes not pruned: $pruned")
+      // metadata() derives n_bytes/magic from the payload, so it reads bytes
+      // — through column ops only (no decoder), per the scaladoc claim
+      val full = readSchema(Multimodal.metadata(media))
+      assert(full.contains("bytes"))
+    } finally {
+      val p = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
 }
