@@ -58,6 +58,13 @@ object ConnectedComponents {
 
     var (labels, labelIds) = checkpointTracked(
       vertices.select(col("id"), col("id").as("cluster_id")))
+    // Pointer jumping is engaged only after the plain rounds stop being
+    // enough: near-dup components are almost always shallow (diameter ≤ 2-3
+    // via the min-id hub), where the jump join is pure overhead — measured
+    // 3× end-to-end pipeline cost when applied from round 1 at 200k docs.
+    // Deep chains (the salted-hot-bucket window topology) still converge in
+    // O(log d) once jumping kicks in.
+    val jumpFromRound = 3
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -72,24 +79,31 @@ object ConnectedComponents {
           col("id"),
           col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("mid"))
-      // step 2 (pointer jumping): label(v) ← label(label(v)). Labels are
-      // always vertex ids (mins over ids), so the lookup side is `stepped`
-      // itself; labels only decrease, so pmid ≤ mid and least() is exact.
-      // The join key is hot for giant components (every member shares one
-      // label) but each left row matches exactly one right row — no blow-up;
-      // AQE skew splitting is the backstop for the partition imbalance.
-      // One checkpoint materializes both old and new labels so the
-      // convergence probe re-reads cached blocks instead of recomputing.
-      val (next, nextIds) = checkpointTracked(
-        stepped
-          .join(
-            stepped.select(col("id").as("pid"), col("mid").as("pmid")),
-            col("mid") === col("pid"),
-            "left")
-          .select(
-            col("id"),
-            col("old"),
-            least(col("mid"), coalesce(col("pmid"), col("mid"))).as("cluster_id")))
+      val (next, nextIds) =
+        if (iter < jumpFromRound) {
+          checkpointTracked(stepped.withColumnRenamed("mid", "cluster_id"))
+        } else {
+          // step 2 (pointer jumping): label(v) ← label(label(v)). Labels are
+          // always vertex ids (mins over ids), so the lookup side is
+          // `stepped` itself — CHECKPOINTED FIRST so the neighbor-min plan
+          // runs once, not once per join side. Labels only decrease, so
+          // pmid ≤ mid and least() is exact. The join key is hot for giant
+          // components but each left row matches exactly one right row —
+          // no blow-up; AQE skew splitting is the backstop.
+          val (steppedCk, stepIds) = checkpointTracked(stepped)
+          val res = checkpointTracked(
+            steppedCk
+              .join(
+                steppedCk.select(col("id").as("pid"), col("mid").as("pmid")),
+                col("mid") === col("pid"),
+                "left")
+              .select(
+                col("id"),
+                col("old"),
+                least(col("mid"), coalesce(col("pmid"), col("mid"))).as("cluster_id")))
+          release(stepIds)
+          res
+        }
       val changed = next.where(col("cluster_id") =!= col("old")).limit(1).count()
       converged = changed == 0
       iter += 1

@@ -107,10 +107,20 @@ object Dedup {
   def candidates(bands: DataFrame, cfg: DedupConfig): DataFrame =
     candidatesFromCensus(bands, bucketCensus(bands), cfg)
 
-  /** Pair generation with a (possibly cached) census supplied by the caller. */
+  /** Pair generation with a (possibly cached) census supplied by the caller.
+    *
+    * The census gate is forced to a SHUFFLE join: its key set is unbounded
+    * (one row per non-singleton bucket — at 200k docs already ~2M keys, at
+    * 10^12 docs billions), but after the band_hash column narrowed to one
+    * bigint AQE's runtime size estimate started flipping this join to
+    * broadcast, building a multi-hundred-MB HashedRelation on every thread
+    * (measured: OOM at 200k docs × 32 threads × 8g). The hot-key side of
+    * the salted path stays an explicit broadcast — THAT key set (over-cap
+    * buckets) is genuinely tiny. */
   def candidatesFromCensus(bands: DataFrame, census: DataFrame, cfg: DedupConfig): DataFrame = {
     val ok = bands.join(
-      census.where(col("bucket_size").between(2, cfg.maxBucket)).select("band_hash"),
+      census.where(col("bucket_size").between(2, cfg.maxBucket)).select("band_hash")
+        .hint("shuffle_hash"),
       "band_hash")
     ok.select(col("band_hash"), col("id").as("id_a"))
       .join(ok.select(col("band_hash"), col("id").as("id_b")), "band_hash")
@@ -136,9 +146,23 @@ object Dedup {
       .where(col("bucket_size") > cfg.maxBucket)
       .select(col("band_hash"),
         ceil(col("bucket_size").cast("double") / cfg.maxBucket).cast("int").as("n_cells"))
+    // BOTH joins are forced to shuffle strategies. (a) The sort-key side is
+    // CORPUS-sized: its narrow (id, lane0) projection makes the planner's
+    // estimate tiny (16 B/row of cache column stats), so Catalyst broadcast
+    // it — unbounded at 10^12 docs. (b) Even the genuinely tiny hot-key
+    // broadcast is ruinous in THIS runtime: Spark's SizeEstimator walks the
+    // TaskMemoryManager reachable from a long-keyed HashedRelation and
+    // accounts ~513 MiB of storage for a near-empty map, evicting the CC
+    // localCheckpoint blocks (whose truncated lineage cannot recompute) —
+    // measured OOM at 200k docs × 32 threads × 8g. The bands relation is
+    // already hash-partitioned by band_hash, so the hot-key shuffle join
+    // reuses that exchange.
     bands
-      .join(broadcast(hotKeys), "band_hash")
-      .join(signatures.select(col("id"), element_at(col("sig"), 1).as("sort_key")), "id")
+      .join(hotKeys.hint("shuffle_hash"), "band_hash")
+      .join(
+        signatures.select(col("id"), element_at(col("sig"), 1).as("sort_key"))
+          .hint("shuffle_hash"),
+        "id")
       .select(col("band_hash"),
         pmod(xxhash64(col("id"), col("band_hash")), col("n_cells")).as("cell"),
         col("id"), col("sort_key"))
@@ -221,9 +245,21 @@ object Dedup {
     val sigs = signatures(docs, cfg).cache()
     val bandsDf = bands(sigs, cfg)
     val census = bucketCensus(bandsDf)
+    // The salted sub-plan is built ONLY when hot buckets exist (one cheap
+    // probe over the cached-signature census). With no hot buckets the
+    // salted branch is all-empty relations — pure plan weight, and AQE's
+    // broadcast conversion of empty hashed relations carries a pathological
+    // ~0.5 GiB accounting in this runtime that evicts checkpoint blocks.
+    // The checkpointed pipeline gates the same way on its census stats.
+    val hasHot = cfg.saltWindow > 0 && {
+      val c = census.cache()
+      val hot = c.where(col("bucket_size") > cfg.maxBucket).limit(1).count() > 0
+      if (!hot) c.unpersist(blocking = false)
+      hot
+    }
     val base = candidatesFromCensus(bandsDf, census, cfg)
     val pairs =
-      if (cfg.saltWindow > 0)
+      if (hasHot)
         base.union(saltedHotPairs(bandsDf, census, sigs, cfg)).dropDuplicates("id_a", "id_b")
       else base
     (verify(pairs, sigs.select("id", "shingles"), cfg), sigs)
