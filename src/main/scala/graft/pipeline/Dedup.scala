@@ -241,28 +241,34 @@ object Dedup {
     * relation is cached (reused by banding AND the verify join); callers that
     * fully materialize the result should release it via the returned handle
     * — [[clusters]]/[[clustersWithLcs]] do. */
-  def nearDupPairsWithHandle(docs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+  /** Internal pipeline assembly; returns the verified pairs plus every
+    * DataFrame it pinned (signatures AND the bucket census — the census is
+    * materialized once by the hot-bucket probe and reused by the candidate
+    * join and, when needed, the salted path). */
+  private def verifiedWithCaches(docs: DataFrame, cfg: DedupConfig): (DataFrame, Seq[DataFrame]) = {
     val sigs = signatures(docs, cfg).cache()
     val bandsDf = bands(sigs, cfg)
-    val census = bucketCensus(bandsDf)
-    // The salted sub-plan is built ONLY when hot buckets exist (one cheap
-    // probe over the cached-signature census). With no hot buckets the
-    // salted branch is all-empty relations — pure plan weight, and AQE's
-    // broadcast conversion of empty hashed relations carries a pathological
-    // ~0.5 GiB accounting in this runtime that evicts checkpoint blocks.
-    // The checkpointed pipeline gates the same way on its census stats.
-    val hasHot = cfg.saltWindow > 0 && {
-      val c = census.cache()
-      val hot = c.where(col("bucket_size") > cfg.maxBucket).limit(1).count() > 0
-      if (!hot) c.unpersist(blocking = false)
-      hot
-    }
+    val census = bucketCensus(bandsDf).cache()
+    // The salted sub-plan is built ONLY when hot buckets exist (one probe
+    // over the census, which this materializes for reuse downstream). With
+    // no hot buckets the salted branch is all-empty relations — pure plan
+    // weight, and AQE's broadcast conversion of empty hashed relations
+    // carries a pathological ~0.5 GiB accounting in this runtime that
+    // evicts checkpoint blocks. The checkpointed pipeline gates the same
+    // way on its census stats.
+    val hasHot = cfg.saltWindow > 0 &&
+      census.where(col("bucket_size") > cfg.maxBucket).limit(1).count() > 0
     val base = candidatesFromCensus(bandsDf, census, cfg)
     val pairs =
       if (hasHot)
         base.union(saltedHotPairs(bandsDf, census, sigs, cfg)).dropDuplicates("id_a", "id_b")
       else base
-    (verify(pairs, sigs.select("id", "shingles"), cfg), sigs)
+    (verify(pairs, sigs.select("id", "shingles"), cfg), Seq(sigs, census))
+  }
+
+  def nearDupPairsWithHandle(docs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    val (verified, caches) = verifiedWithCaches(docs, cfg)
+    (verified, caches.head) // census stays pinned; see nearDupPairs scaladoc
   }
 
   /** Convenience form that leaves the signature cache pinned for the session
@@ -277,9 +283,9 @@ object Dedup {
   /** End-to-end: docs(id, text) → (id, cluster_id) for every doc, cluster_id =
     * min doc id of the duplicate component (singletons map to themselves). */
   def clusters(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val (verified, sigs) = nearDupPairsWithHandle(docs, cfg)
+    val (verified, caches) = verifiedWithCaches(docs, cfg)
     val out = ConnectedComponents.run(docs.select("id"), verified.select("id_a", "id_b"))
-    sigs.unpersist(blocking = false) // CC materialized the edges (checkpoint)
+    caches.foreach(_.unpersist(blocking = false)) // CC materialized the edges
     out
   }
 
@@ -302,11 +308,11 @@ object Dedup {
     * Jaccard + LCS verify → clusters) without per-stage checkpoint IO — the
     * unit of work for throughput/scaling benchmarks. */
   def clustersWithLcs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val (verified, sigs) = nearDupPairsWithHandle(docs, cfg)
+    val (verified, caches) = verifiedWithCaches(docs, cfg)
     val out = ConnectedComponents.run(
       docs.select("id"),
       withLcsColumn(verified, docs).select("id_a", "id_b"))
-    sigs.unpersist(blocking = false)
+    caches.foreach(_.unpersist(blocking = false))
     out
   }
 }
