@@ -197,18 +197,21 @@ object SparkEntry {
       // DuckDB gate (the splitmix production kernel is gated end-to-end by
       // q_minhash_lsh_pairs / q_dedup_clusters, whose exact-Jaccard output
       // is kernel-independent). Scalar rows: (doc_id, lane, minhash).
-      val ws = split(col("text"), " ", -1)
-      val grams = when(size(ws) >= 3,
-        array_distinct(transform(sequence(lit(0), size(ws) - lit(3)),
-          i => concat_ws(" ",
-            element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
-        .otherwise(array().cast("array<string>"))
+      graft.functions.GraftExpressions.register(s)
       docs(s, dir)
-        .select(col("doc_id"), explode(grams).as("sh"))
-        .select(col("doc_id"), col("sh"), explode(sequence(lit(0L), lit(15L))).as("lane"))
-        .groupBy("doc_id", "lane")
-        .agg(min(CrossEngine.md5longCol(
-          concat(col("lane").cast("string"), lit(":"), col("sh")))).as("minhash"))
+        // the table is one parquet file → one scan task; spread the k·grams
+        // md5 work across the cluster before the heavy projection. The N is
+        // EXPLICIT so AQE cannot coalesce the byte-light exchange back into
+        // a few CPU-bound tasks (this sandbox's documented pathology).
+        .repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+        .select(col("doc_id"),
+          // one fused codegen pass: text → word trigrams → 16 lane minima
+          // (value-identical to explode×grams×16 + groupBy(min); min is
+          // duplicate-idempotent so gram distinctness is immaterial; docs
+          // under 3 words yield an empty array → no rows, like the oracle)
+          posexplode(call_function("graft_md5_minhash_text",
+            col("text"), lit(3), lit(16))).as(Seq("lane", "minhash")))
+        .select(col("doc_id"), col("lane").cast("long").as("lane"), col("minhash"))
         .orderBy("doc_id", "lane")
     }),
     "q_simhash_pairs" -> ((s, dir) =>

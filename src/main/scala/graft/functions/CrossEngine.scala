@@ -61,6 +61,82 @@ object CrossEngine {
   def gaussInt(tag: String, j: Int, i: Int): Long =
     (0 until 12).map(t => md5long(s"$tag:$j:$i:$t") % 2001L).sum - 12000L
 
+  private val lanePrefix: Array[Array[Byte]] =
+    Array.tabulate(64)(l => (l.toString + ":").getBytes("UTF-8"))
+
+  /** First 15 hex digits of an md5 digest as a Long, WITHOUT materializing
+    * the hex string: chars 0..14 are bytes 0..6 plus the high nibble of
+    * byte 7, i.e. the big-endian 64-bit read of bytes 0..7 shifted right 4.
+    * Equality with the string path is pinned by CrossEngineSpec. */
+  private def digestLong15(d: Array[Byte]): Long =
+    (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+
+  /** All k md5-lane minhash minima in ONE pass over the gram array — value-
+    * identical to `groupBy(lane).agg(min(md5long(lane || ":" || gram)))` (min
+    * is duplicate-idempotent, so distinctness of grams is not required), but
+    * without the k-fold explode and shuffle, the per-lane string concats, and
+    * the hex round-trip. Used via Md5MinHashExpr. */
+  def md5MinHash(grams: org.apache.spark.sql.catalyst.util.ArrayData, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = mdLocal.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val gramBytes = grams.getUTF8String(i).getBytes
+      var l = 0
+      while (l < k) {
+        md.reset()
+        md.update(lanePrefix(l))
+        md.update(gramBytes)
+        val h = digestLong15(md.digest())
+        if (h < mins(l)) mins(l) = h
+        l += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** Text → all k md5-lane minhash minima over its word n-grams, fully fused
+    * (split, gram join with single spaces, digest — no interpreted lambdas).
+    * Gram strings match the oracle's `ws[i]||' '||…||ws[i+n-1]` exactly.
+    * Docs with fewer than n words return an EMPTY array (posexplode then
+    * emits no rows, like the relational form). */
+  def md5MinHashText(text: org.apache.spark.unsafe.types.UTF8String, n: Int, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val ws = text.toString.split(" ", -1)
+    if (ws.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val md = mdLocal.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= ws.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      val gramBytes = sb.toString.getBytes("UTF-8")
+      var l = 0
+      while (l < k) {
+        md.reset()
+        md.update(lanePrefix(l))
+        md.update(gramBytes)
+        val h = digestLong15(md.digest())
+        if (h < mins(l)) mins(l) = h
+        l += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Exact integer dot product of an array<bigint> column with a constant
     * plane — stays in whole-stage codegen (no UDF). */
   def dotConst(v: Column, plane: Array[Long]): Column =

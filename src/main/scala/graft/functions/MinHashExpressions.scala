@@ -124,5 +124,17 @@ object GraftExpressions {
       "graft_cosq",
       exprs => CosineQuantizedExpr(exprs(0), exprs(1)),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_md5_minhash",
+      exprs => Md5MinHashExpr(exprs(0), lit2Int(exprs(1))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_md5_minhash_text",
+      exprs => Md5MinHashTextExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_simhash56",
+      exprs => SimHash56Expr(exprs(0)),
+      "built-in")
   }
 }

@@ -119,6 +119,62 @@ case class PlaneDotsExpr(child: Expression, tag: String, n: Int)
   override def prettyName: String = "graft_plane_dots"
 }
 
+/** graft_md5_minhash(grams, k): all k md5-lane minhash minima in one pass
+  * (CrossEngine.md5MinHash) — replaces a k-fold explode + shuffle agg. */
+case class Md5MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CrossEngine.md5MinHash(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CrossEngine.md5MinHash($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_md5_minhash"
+}
+
+/** graft_md5_minhash_text(text, n, k): fused text → word-n-gram → k md5-lane
+  * minhash minima (CrossEngine.md5MinHashText); empty array below n words. */
+case class Md5MinHashTextExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CrossEngine.md5MinHashText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CrossEngine.md5MinHashText($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_md5_minhash_text"
+}
+
+/** graft_simhash56(text): 56-bit md5-token SimHash fingerprint
+  * (CrossEngine.SimHash56) as a native expression — same kernel as the UDF
+  * form, minus the ScalaUDF boxing/codegen wrapper. */
+case class SimHash56Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CrossEngine.SimHash56.fingerprint(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.split(" ", -1))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.CrossEngine.SimHash56.fingerprint($c.toString().split(" ", -1))""")
+  override protected def withNewChildInternal(newChild: Expression): SimHash56Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash56"
+}
+
 /** graft_cosq(a, b): exact quantized-int cosine, one fused loop. */
 case class CosineQuantizedExpr(left: Expression, right: Expression)
     extends BinaryExpression with LongArrayInput {

@@ -19,9 +19,14 @@ import graft.functions.CrossEngine
   */
 object SimHashDedup {
 
-  /** (doc_id, fp): the 56-bit fingerprint column. */
-  def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), CrossEngine.simhash56Udf(col("text")).as("fp"))
+  /** (doc_id, fp): the 56-bit fingerprint column (native expression; the
+    * single parquet file is one scan task, so the fingerprint compute is
+    * spread first — explicit N so AQE can't re-serialize it). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftExpressions.register(spark)
+    docs.select(col("doc_id"), call_function("graft_simhash56", col("text")).as("fp"))
+  }
 
   /** One row per (doc, chunk position): (doc_id, fp, chunk_idx, chunk). */
   def chunks(fps: DataFrame): DataFrame =

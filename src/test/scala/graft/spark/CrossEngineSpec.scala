@@ -24,6 +24,19 @@ class CrossEngineSpec extends AnyFunSuite {
     assert(got.toSeq == inputs.map(s => CrossEngine.md5long(s)))
   }
 
+  test("md5MinHash kernel equals the per-lane md5long string path") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val grams = Seq("tok1 tok2 tok3", "a b c", "ünïcode gram", "", "x:y")
+    val arr = new GenericArrayData(grams.map(UTF8String.fromString).toArray[Any])
+    val k = 16
+    val fused = CrossEngine.md5MinHash(arr, k)
+    (0 until k).foreach { l =>
+      val want = grams.map(s => CrossEngine.md5long(s"$l:$s")).min
+      assert(fused.getLong(l) == want, s"lane $l")
+    }
+  }
+
   test("rademacher entries are ±1 and roughly balanced") {
     val entries = for (p <- 0 until 32; i <- 0 until 64) yield CrossEngine.rademacher("ann", p, i)
     assert(entries.forall(e => e == 1 || e == -1))
