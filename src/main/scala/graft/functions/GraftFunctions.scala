@@ -103,44 +103,16 @@ object GraftFunctions extends Serializable {
     out
   }
 
-  def bandHashesUdf(bands: Int, rows: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((sig: Array[Long]) => if (sig == null) null else bandHashes(sig, bands, rows, seed))
-
   /** Exact Jaccard on two sorted-distinct shingle-hash arrays — the
     * verify-stage ground truth (J(∅,∅)=0, similarities.jl:230-238). */
   val jaccardSortedUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Array[Long], b: Array[Long]) =>
       if (a == null || b == null) 0.0 else Similarities.jaccardSorted(a, b))
 
-  // ---------------------------------------------------------------- simhash
-
-  /** Classic 64-bit text SimHash: tf-weighted sign of random projections where
-    * the projection for token t is the ±1 pattern of hash64(t) — the standard
-    * Charikar construction; semantically the reference's SimHash (sign of
-    * random projections, simhash.jl:131-140) on a hashed bag-of-words. */
-  def simhash64(tokens: Array[String], seed: Long): Long = {
-    val acc = new Array[Int](64)
-    var i = 0
-    while (i < tokens.length) {
-      val h = Rng.hashString(seed, tokens(i))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) >= 0) sig |= (1L << b); b += 1 }
-    sig
-  }
-
-  def simhash64Udf(seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((text: String) => if (text == null) 0L else simhash64(text.split(" ", -1), seed))
-
-  val hamming64Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+  // (Text SimHash lives in CrossEngine.SimHash56 — the oracled md5-token
+  // form used by SimHashDedup/NearDupStream; the vector form is
+  // core.SimHasher. Band hashes run as the BandHashesExpr codegen
+  // expression; the kernel fn below stays for the pure-Scala test oracles.)
 
   // ------------------------------------------------- embedding similarity
 
@@ -153,12 +125,11 @@ object GraftFunctions extends Serializable {
   def dotLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Deterministic cosine on quantized vectors (exact ints → one sqrt/div). */
+  /** Deterministic cosine on quantized vectors (exact ints → one sqrt/div).
+    * This built-in tree is the REFERENCE form for the fused codegen kernel
+    * graft_cosq (PlaneKernel.cosq) — CrossEngineSpec pins their bitwise
+    * equality; queries use the kernel (higher-order fns run interpreted). */
   def cosineQuantized(a: Column, b: Column): Column =
     dotLong(a, b).cast("double") /
       (sqrt(dotLong(a, a).cast("double")) * sqrt(dotLong(b, b).cast("double")))
-
-  /** Plain double cosine (fast path, not oracle-reproducible bitwise). */
-  val cosineDoubleUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Array[Double], b: Array[Double]) => Similarities.cossim(a, b))
 }

@@ -96,6 +96,26 @@ class CheckpointedDedupSpec extends AnyFunSuite {
     rmrf(base)
   }
 
+  test("hot-bucket corpus through the checkpointed pipeline: salted, disclosed, connected") {
+    import spark.implicits._
+    val base = freshDir()
+    val hotText = (1 to 90).map(i => s"boiler$i word$i").mkString(" ")
+    // 40 identical pages (every band bucket hot under cap 10) + 20 distinct
+    val pages = ((0 until 40).map(i => (s"https://dup.example/p$i", hotText)) ++
+      (100 until 120).map(i => (s"https://solo.example/p$i",
+        (1 to 60).map(j => s"doc${i}w$j").mkString(" ")))).toDF("url", "text")
+    val rep = CheckpointedDedup.run(spark, pages, cfg.copy(maxBucket = 10, saltWindow = 4), base)
+    val cand = TableIO.readManifest(s"$base/candidates").get
+    assert(cand.extra("cappedBuckets").toLong > 0, "skew not disclosed")
+    // all 40 duplicates end in ONE cluster despite every bucket being capped
+    val clusters = rep.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupIds = rep.verifiedPairs.select("id_a").union(rep.verifiedPairs.select("id_b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(dupIds.size == 40)
+    assert(dupIds.map(clusters).size == 1, "hot duplicates fragmented across clusters")
+    rmrf(base)
+  }
+
   test("verified pairs carry a meaningful suffix-array LCS column") {
     val base = freshDir()
     val pages = PagesGen.pages(spark, 80, 0L, 4)

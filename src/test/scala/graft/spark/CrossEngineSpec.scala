@@ -37,6 +37,24 @@ class CrossEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_cosq kernel is bitwise-equal to the built-in cosine tree") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    graft.functions.GraftExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextInt(2001).toLong - 1000),
+      Array.fill(64)(rnd.nextInt(2001).toLong - 1000)))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      call_function("graft_cosq", col("a"), col("b")).as("fused"),
+      GraftFunctions.cosineQuantized(col("a"), col("b")).as("tree"))
+      .collect()
+    assert(both.forall(r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+  }
+
   test("rademacher entries are ±1 and roughly balanced") {
     val entries = for (p <- 0 until 32; i <- 0 until 64) yield CrossEngine.rademacher("ann", p, i)
     assert(entries.forall(e => e == 1 || e == -1))
