@@ -48,32 +48,53 @@ object NearDupStream {
 
   /** Streaming near-dup pairs at hamming ≤ maxHamming. Works on a streaming
     * OR batch `docs(doc_id, text)` DataFrame (flatMapGroupsWithState runs in
-    * both; batch mode is the test oracle path). */
-  def pairs(docs: DataFrame, maxHamming: Int, maxMembers: Int): Dataset[DupPair] = {
+    * both; batch mode is the test oracle path).
+    *
+    * @param stateTtl when set (e.g. "24 hours"), bucket state expires after
+    *                 that much processing-time inactivity — the retention
+    *                 bound an UNBOUNDED stream needs. Docs arriving after a
+    *                 bucket expired can no longer pair with its pre-expiry
+    *                 members (a disclosed recall/retention tradeoff, exactly
+    *                 like the batch census cap). None = keep state forever
+    *                 (bounded replays, tests). */
+  def pairs(
+      docs: DataFrame,
+      maxHamming: Int,
+      maxMembers: Int,
+      stateTtl: Option[String] = None): Dataset[DupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     chunked(docs)
       .groupByKey(r => ChunkKey(r.chunk_idx, r.chunk))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (_: ChunkKey, rows: Iterator[DocChunk], state: GroupState[BucketState]) =>
-          var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
-          rows.foreach { r =>
-            var ids = st.ids
-            var fps = st.fps
-            while (ids.nonEmpty) {
-              val h = java.lang.Long.bitCount(r.fp ^ fps.head)
-              if (h <= maxHamming && ids.head != r.doc_id)
-                out += DupPair(math.min(ids.head, r.doc_id), math.max(ids.head, r.doc_id), h)
-              ids = ids.tail; fps = fps.tail
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+            rows.foreach { r =>
+              var ids = st.ids
+              var fps = st.fps
+              while (ids.nonEmpty) {
+                val h = java.lang.Long.bitCount(r.fp ^ fps.head)
+                if (h <= maxHamming && ids.head != r.doc_id)
+                  out += DupPair(math.min(ids.head, r.doc_id), math.max(ids.head, r.doc_id), h)
+                ids = ids.tail; fps = fps.tail
+              }
+              st =
+                if (st.ids.length < maxMembers)
+                  BucketState(r.doc_id :: st.ids, r.fp :: st.fps, st.dropped)
+                else st.copy(dropped = st.dropped + 1) // capped: disclose, don't grow
             }
-            st =
-              if (st.ids.length < maxMembers)
-                BucketState(r.doc_id :: st.ids, r.fp :: st.fps, st.dropped)
-              else st.copy(dropped = st.dropped + 1) // capped: disclose, don't grow
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

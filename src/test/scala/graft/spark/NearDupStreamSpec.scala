@@ -41,6 +41,22 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(streamed == batchTruth)
   }
 
+  test("state TTL variant produces identical pairs while the state is live") {
+    val schema = spark.read.parquet(docsFile).schema
+    val stream = spark.readStream.schema(schema).parquet(glob)
+      .select(col("doc_id"), col("text"))
+    val q = NearDupStream.pairs(stream, maxHamming = 6, maxMembers = 100000,
+        stateTtl = Some("1 hour"))
+      .writeStream.format("memory").queryName("neardup_ttl").outputMode("update")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("neardup_ttl")
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchTruth)
+  }
+
   test("state cap bounds hot buckets to O(n·cap) pairs instead of O(n²)") {
     import spark.implicits._
     // 50 identical docs, cap 10: the first 10 arrivals fill the state and

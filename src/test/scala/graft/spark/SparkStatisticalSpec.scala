@@ -61,6 +61,59 @@ class SparkStatisticalSpec extends AnyFunSuite {
     assert(viaSpark == direct.toSeq)
   }
 
+  test("Rademacher plane bits collision frequency ≈ 1 − θ/π via the Dataset path") {
+    // the ANN/MIPS queries' hyperplane kernel (graft_plane_bits) must obey
+    // the reference's sign-LSH contract Pr[sign agree] = 1 − arccos(s)/π
+    // (simhash.jl:121-122) — Rademacher ±1 entries satisfy it asymptotically
+    // in the dimension (CLT); dim=64 keeps the deviation inside the band.
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val dim = 64
+    val nPlanes = 512 // tag "stat512": planes only exist where referenced
+    val rnd = new scala.util.Random(1L)
+    val pairs = Seq.tabulate(16) { i =>
+      val x = Array.fill(dim)(rnd.nextGaussian())
+      // controlled similarity: y = cos(t)·x + sin(t)·z
+      val z = Array.fill(dim)(rnd.nextGaussian())
+      val t = 0.2 + 0.1 * i
+      val y = Array.tabulate(dim)(j => math.cos(t) * x(j) + math.sin(t) * z(j))
+      (i.toLong, x.toSeq, y.toSeq)
+    }
+    def q(v: Seq[Double]): Seq[Long] = v.map(e => math.round(e * 1000))
+    val rows = pairs.map { case (id, x, y) => (id, q(x), q(y)) }
+      .toDF("id", "x", "y")
+      .select($"id",
+        call_function("graft_plane_bits", $"x", lit("stat512"), lit(64)).as("b0"),
+        // 512 planes = 8 independent 64-bit words via distinct tags
+        call_function("graft_plane_bits", $"y", lit("stat512"), lit(64)).as("c0"))
+      .collect()
+    // 64 planes per word is enough at tolerance 0.14 with CLT slack; use all pairs
+    pairs.foreach { case (id, x, y) =>
+      val r = rows.find(_.getLong(0) == id).get
+      val (bx, by) = (r.getLong(1), r.getLong(2))
+      val freq = (64 - java.lang.Long.bitCount(bx ^ by)).toDouble / 64
+      val s = Similarities.cossim(x.toArray, y.toArray)
+      val prob = 1.0 - math.acos(s) / math.Pi
+      assert(math.abs(freq - prob) <= 0.14, s"pair $id: freq=$freq prob=$prob (s=$s)")
+    }
+    // and the mean deviation across pairs must be small (variance averages out)
+    val meanDev = pairs.map { case (id, x, y) =>
+      val r = rows.find(_.getLong(0) == id).get
+      val freq = (64 - java.lang.Long.bitCount(r.getLong(1) ^ r.getLong(2))).toDouble / 64
+      val prob = 1.0 - math.acos(Similarities.cossim(x.toArray, y.toArray)) / math.Pi
+      freq - prob
+    }.sum / pairs.size
+    assert(math.abs(meanDev) <= 0.04, s"meanDev=$meanDev")
+  }
+
+  test("bitsForCorpus grows bucket width with log n") {
+    import graft.SparkEntry.Planes.bitsForCorpus
+    assert(bitsForCorpus(1000000000L, 1024) == 20)
+    assert(bitsForCorpus(2048, 1024) == 4)  // floor at 4
+    assert(bitsForCorpus(1000L, 1024) == 4)
+    assert(bitsForCorpus(1L << 40, 1024) == 30)
+  }
+
   test("unsigned min semantics: negative-as-unsigned hashes never win spuriously") {
     // craft shingles whose seeded hashes include both sign bits; the signature
     // must equal the unsigned min, not the signed min
