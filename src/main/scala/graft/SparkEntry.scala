@@ -261,8 +261,13 @@ object SparkEntry {
           .as(Seq("table_idx", "bucket")))
       val keys = Seq("table_idx", "bucket")
       val census = buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_size"))
+      // census gate FORCED to shuffle: unbounded key set (one row per
+      // non-singleton bucket — grows with the corpus), and this runtime's
+      // measured phantom-broadcast OOM (Dedup.candidatesFromCensus) applies
+      // to any AQE broadcast flip of it — same trap, same fix
       val ok = buckets.join(
-        census.where(col("bucket_size").between(2, Planes.AnnCap)).select(keys.map(col): _*),
+        census.where(col("bucket_size").between(2, Planes.AnnCap)).select(keys.map(col): _*)
+          .hint("shuffle_hash"),
         keys)
       val cand = ok.select(col("table_idx"), col("bucket"), col("vec_id").as("vec_a"))
         .join(ok.select(col("table_idx"), col("bucket"), col("vec_id").as("vec_b")), keys)

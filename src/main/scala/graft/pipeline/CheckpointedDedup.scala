@@ -64,16 +64,19 @@ object CheckpointedDedup {
     // each stage's hash salts ONLY the config fields it actually reads, so a
     // change to (say) the verify threshold leaves upstream checkpoints valid.
     // The docs stage additionally folds an INPUT FINGERPRINT (row count +
-    // order-independent xor of per-row hashes over url, text length, and a
-    // 256-char content sample — one scan) into its hash: pointing the same
-    // baseDir at different input must invalidate the whole chain, not
-    // silently resume over a stale corpus. Re-crawls that change a page's
-    // text change the fingerprint even when the url set is identical.
+    // order-independent xor of per-row xxhash64 over url and the FULL text —
+    // one pass over data the stage scans anyway) into its hash: pointing the
+    // same baseDir at different input must invalidate the whole chain, not
+    // silently resume over a stale corpus. Hashing the full text (not a
+    // prefix sample — ADVICE r2) means ANY re-crawled content change
+    // invalidates, wherever in the page it lands. bit_xor over zero rows is
+    // NULL → coalesce, so an empty input fingerprints cleanly instead of
+    // NPEing.
     val fp = pages
       .agg(count(lit(1)).cast("long").as("n"),
-        expr("bit_xor(xxhash64(url, length(text), substring(text, 1, 256)))").as("x"))
+        coalesce(expr("bit_xor(xxhash64(url, text))"), lit(0L)).as("x"))
       .first()
-    val h0 = chainHash("root", "docs", s"v2:${fp.getLong(0)}:${fp.getLong(1)}")
+    val h0 = chainHash("root", "docs", s"v3:${fp.getLong(0)}:${fp.getLong(1)}")
     val docsStage = stage("docs", h0) {
       // stable doc id = seeded hash of url (no monotonically_increasing_id —
       // that is partition-dependent and breaks cross-run determinism), with

@@ -266,10 +266,12 @@ object Dedup {
     (verify(pairs, sigs.select("id", "shingles"), cfg), Seq(sigs, census))
   }
 
-  def nearDupPairsWithHandle(docs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
-    val (verified, caches) = verifiedWithCaches(docs, cfg)
-    (verified, caches.head) // census stays pinned; see nearDupPairs scaladoc
-  }
+  /** Verified pairs plus EVERY DataFrame the pipeline pinned (signatures and
+    * the materialized bucket census). Callers that fully materialize the
+    * result must unpersist all of them — returning only the head silently
+    * leaked the cached census (ADVICE r2). */
+  def nearDupPairsWithHandle(docs: DataFrame, cfg: DedupConfig): (DataFrame, Seq[DataFrame]) =
+    verifiedWithCaches(docs, cfg)
 
   /** Convenience form that leaves the signature cache pinned for the session
     * (the plan is lazy, so it cannot be released before the caller's action).

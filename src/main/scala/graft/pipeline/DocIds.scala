@@ -42,19 +42,31 @@ object DocIds {
       pages: DataFrame,
       primary: Column,
       maxRounds: Int = 5): DataFrame = {
+    val sc = pages.sparkSession.sparkContext
     var df = pages.dropDuplicates("url").withColumn("id", primary)
+    // each round's localCheckpoint pins blocks that supersede the previous
+    // round's; release the stale ones once the new checkpoint materializes
+    // (same discipline as ConnectedComponents.checkpointTracked — pinned-
+    // but-dead blocks are an OOM contributor under this runtime's broadcast
+    // accounting pathology)
+    var prevIds: Seq[Int] = Nil
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       val colliding = df.groupBy("id").count().where(col("count") > 1).select("id")
       if (colliding.isEmpty) done = true
       else {
+        val before = sc.getPersistentRDDs.keySet
         df = df
           .join(broadcast(colliding.withColumn("collides", lit(true))), Seq("id"), "left")
           .withColumn("id",
             when(col("collides"), rehash(col("id"), col("url"))).otherwise(col("id")))
           .drop("collides")
           .localCheckpoint(true) // ids are final data, not a recomputable plan
+        val added = sc.getPersistentRDDs.keysIterator.filterNot(before).toSeq
+        val reg = sc.getPersistentRDDs
+        prevIds.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+        prevIds = added
         round += 1
       }
     }

@@ -19,13 +19,16 @@ import graft.functions.CrossEngine
   */
 object SimHashDedup {
 
-  /** (doc_id, fp): the 56-bit fingerprint column (native expression; the
-    * single parquet file is one scan task, so the fingerprint compute is
-    * spread first — explicit N so AQE can't re-serialize it). */
+  /** (doc_id, fp): the 56-bit fingerprint column, computed by the native
+    * codegen expression. Null-text docs are filtered — the same exclusion as
+    * [[graft.streaming.NearDupStream]]'s, so stream and batch agree on which
+    * documents exist (a null doc must not masquerade as fingerprint 0). */
   def fingerprints(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftExpressions.register(spark)
-    docs.select(col("doc_id"), call_function("graft_simhash56", col("text")).as("fp"))
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), call_function("graft_simhash56", col("text")).as("fp"))
   }
 
   /** One row per (doc, chunk position): (doc_id, fp, chunk_idx, chunk). */
@@ -43,12 +46,28 @@ object SimHashDedup {
     chunkCensus(chunks(fingerprints(docs)))
       .where(col("bucket_size") > maxBucket)
 
-  /** Near-dup pairs at hamming ≤ maxHamming: (doc_a, doc_b, hamming). */
+  /** Near-dup pairs at hamming ≤ maxHamming: (doc_a, doc_b, hamming).
+    *
+    * The chunk relation is CACHED: it feeds the census AND both self-join
+    * sides, and without the cache the (CPU-dense) fingerprint expression
+    * re-runs on every scan branch — 4 full SimHash passes over the corpus
+    * per query (VERDICT r2, What's wrong #3; the minhash path caches its
+    * signatures for the same reason, Dedup.verifiedWithCaches). The pin is
+    * released by the caller's post-action `clearCache` (Bench/Verify), like
+    * every other per-query cache in this contract.
+    *
+    * The census gate is FORCED to a shuffle join: its key set is unbounded
+    * (one row per non-singleton chunk bucket), and this runtime's measured
+    * phantom-broadcast pathology (~513 MiB accounted per long-keyed
+    * HashedRelation) makes an AQE broadcast flip an OOM risk — same trap,
+    * same fix as Dedup.candidatesFromCensus. */
   def pairs(docs: DataFrame, maxHamming: Int, maxBucket: Long): DataFrame = {
-    val ch = chunks(fingerprints(docs))
+    val ch = chunks(fingerprints(docs)).cache()
     val keys = Seq("chunk_idx", "chunk")
     val ok = ch.join(
-      chunkCensus(ch).where(col("bucket_size").between(2, maxBucket)).select(keys.map(col): _*),
+      chunkCensus(ch).where(col("bucket_size").between(2, maxBucket))
+        .select(keys.map(col): _*)
+        .hint("shuffle_hash"),
       keys)
     // hamming filter BEFORE the pair-dedup shuffle (shrinks the shuffled
     // relation to true near-dups); fp is 8 bytes so carrying it is free,

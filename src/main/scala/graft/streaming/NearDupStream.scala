@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import scala.concurrent.duration.FiniteDuration
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.CrossEngine
@@ -19,44 +21,106 @@ import graft.functions.CrossEngine
   * chunk's state stops growing and the overflow is counted in `dropped`),
   * so a hot bucket costs O(cap) per arrival, never O(n).
   *
+  * Null-text documents are FILTERED here, exactly as the batch path's
+  * [[graft.pipeline.SimHashDedup.fingerprints]] filters them — the two paths
+  * must exclude the same rows or the stream≡batch equivalence breaks (a null
+  * doc must not bucket with genuine near-zero-fingerprint docs).
+  *
   * A pair sharing several chunks is emitted once per shared chunk
   * (OR-amplification); consumers dedupe downstream — chaining a stateful
   * dropDuplicates onto flatMapGroupsWithState is restricted by Spark, and
   * at scale the dedupe belongs in the (idempotent) sink anyway.
+  *
+  * Retention on UNBOUNDED streams — two variants:
+  *  - [[pairs]] with `stateTtl`: processing-time TTL (wall-clock inactivity);
+  *  - [[pairsEventTime]]: watermark-driven event-time retention — state
+  *    expires once the watermark passes last-arrival + retention, so memory
+  *    is bounded by the DATA's time axis, independent of wall-clock replay
+  *    speed (a backfill replaying a year of docs in an hour retains exactly
+  *    the retention window of data-time, not the whole year).
   */
 object NearDupStream {
 
   final case class ChunkKey(chunk_idx: Int, chunk: Long)
   final case class DocChunk(chunk_idx: Int, chunk: Long, doc_id: Long, fp: Long)
+  final case class DocChunkT(
+      chunk_idx: Int, chunk: Long, doc_id: Long, fp: Long, event_time: java.sql.Timestamp)
   final case class BucketState(ids: List[Long], fps: List[Long], dropped: Long)
   final case class DupPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  private def chunkColumns(fp: Column): Column =
+    posexplode(array((0 until CrossEngine.SimHash56.Chunks).map(i =>
+      shiftrightunsigned(fp, i * 8).bitwiseAND(lit(255L))): _*))
+
+  private def fingerprinted(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExpressions.register(docs.sparkSession)
+    docs
+      .where(col("text").isNotNull) // same exclusion as SimHashDedup.fingerprints
+      .withColumn("fp", call_function("graft_simhash56", col("text")))
+  }
 
   /** (doc_id, text) stream → chunk-keyed rows (same derivation as batch). */
   def chunked(docs: DataFrame): Dataset[DocChunk] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), CrossEngine.simhash56Udf(col("text")).as("fp"))
-      .select(col("doc_id"), col("fp"),
-        posexplode(array((0 until CrossEngine.SimHash56.Chunks).map(i =>
-          shiftrightunsigned(col("fp"), i * 8).bitwiseAND(lit(255L))): _*))
-          .as(Seq("chunk_idx", "chunk")))
+    fingerprinted(docs)
+      .select(col("doc_id"), col("fp"), chunkColumns(col("fp")).as(Seq("chunk_idx", "chunk")))
       .select(col("chunk_idx").cast("int").as("chunk_idx"), col("chunk"),
         col("doc_id"), col("fp"))
       .as[DocChunk]
   }
 
+  /** The per-bucket state transition, extracted so the timeout branch is
+    * directly unit-testable (via `TestGroupState`) — a livelocking
+    * end-to-end test is not a substitute for testing `hasTimedOut`.
+    *
+    * @param rows     (doc_id, fp) arrivals for this bucket
+    * @param onUpdate invoked after `state.update` — the timeout-arming hook
+    *                 (sets a processing-time duration, an event-time
+    *                 timestamp, or nothing)
+    */
+  private[graft] def updateBucket(
+      maxHamming: Int,
+      maxMembers: Int,
+      rows: Iterator[(Long, Long)],
+      state: GroupState[BucketState],
+      onUpdate: GroupState[BucketState] => Unit): Iterator[DupPair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+      rows.foreach { case (docId, fp) =>
+        var ids = st.ids
+        var fps = st.fps
+        while (ids.nonEmpty) {
+          val h = java.lang.Long.bitCount(fp ^ fps.head)
+          if (h <= maxHamming && ids.head != docId)
+            out += DupPair(math.min(ids.head, docId), math.max(ids.head, docId), h)
+          ids = ids.tail; fps = fps.tail
+        }
+        st =
+          if (st.ids.length < maxMembers)
+            BucketState(docId :: st.ids, fp :: st.fps, st.dropped)
+          else st.copy(dropped = st.dropped + 1) // capped: disclose, don't grow
+      }
+      state.update(st)
+      onUpdate(state)
+      out.iterator
+    }
+  }
+
   /** Streaming near-dup pairs at hamming ≤ maxHamming. Works on a streaming
     * OR batch `docs(doc_id, text)` DataFrame (flatMapGroupsWithState runs in
-    * both; batch mode is the test oracle path).
+    * both; batch mode is the test-oracle path — timeouts never fire there,
+    * so the TTL variant is batch-equivalent to no TTL).
     *
-    * @param stateTtl when set (e.g. "24 hours"), bucket state expires after
-    *                 that much processing-time inactivity — the retention
-    *                 bound an UNBOUNDED stream needs. Docs arriving after a
-    *                 bucket expired can no longer pair with its pre-expiry
-    *                 members (a disclosed recall/retention tradeoff, exactly
-    *                 like the batch census cap). None = keep state forever
-    *                 (bounded replays, tests). */
+    * @param stateTtl when set (e.g. "1 hour"), bucket state expires after
+    *                 that much processing-time inactivity — a wall-clock
+    *                 retention bound. For a DATA-time bound (backfills,
+    *                 late arrivals) use [[pairsEventTime]]. None = keep
+    *                 state forever (bounded replays, tests). */
   def pairs(
       docs: DataFrame,
       maxHamming: Int,
@@ -71,30 +135,48 @@ object NearDupStream {
       .groupByKey(r => ChunkKey(r.chunk_idx, r.chunk))
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (_: ChunkKey, rows: Iterator[DocChunk], state: GroupState[BucketState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
-            val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
-            rows.foreach { r =>
-              var ids = st.ids
-              var fps = st.fps
-              while (ids.nonEmpty) {
-                val h = java.lang.Long.bitCount(r.fp ^ fps.head)
-                if (h <= maxHamming && ids.head != r.doc_id)
-                  out += DupPair(math.min(ids.head, r.doc_id), math.max(ids.head, r.doc_id), h)
-                ids = ids.tail; fps = fps.tail
-              }
-              st =
-                if (st.ids.length < maxMembers)
-                  BucketState(r.doc_id :: st.ids, r.fp :: st.fps, st.dropped)
-                else st.copy(dropped = st.dropped + 1) // capped: disclose, don't grow
-            }
-            state.update(st)
-            stateTtl.foreach(state.setTimeoutDuration)
-            out.iterator
-          }
+          updateBucket(maxHamming, maxMembers, rows.map(r => (r.doc_id, r.fp)), state,
+            st => stateTtl.foreach(st.setTimeoutDuration))
+      }
+  }
+
+  /** Event-time retention variant (STREAMING ONLY — it reads the watermark):
+    * `docs(doc_id, text, event_time)` → pairs, where a bucket expires once
+    * the watermark passes its last arrival's batch-watermark + retention.
+    * Docs arriving after a bucket expired can no longer pair with its
+    * pre-expiry members — the disclosed retention/recall tradeoff, now
+    * bounded in DATA time: an unbounded stream holds O(docs-per-retention-
+    * window · chunks) state regardless of how long it runs.
+    *
+    * @param lateness  watermark delay — how far out-of-order event_time may
+    *                  arrive before being dropped
+    * @param retention how long (in event time) a document stays pairable
+    */
+  def pairsEventTime(
+      docs: DataFrame,
+      maxHamming: Int,
+      maxMembers: Int,
+      lateness: FiniteDuration,
+      retention: FiniteDuration): Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val retentionMs = retention.toMillis
+    val watermarked = fingerprinted(
+      docs.withWatermark("event_time", s"${lateness.toMillis} milliseconds"))
+      .select(col("fp"), col("doc_id"), col("event_time"),
+        chunkColumns(col("fp")).as(Seq("chunk_idx", "chunk")))
+      .select(col("chunk_idx").cast("int").as("chunk_idx"), col("chunk"),
+        col("doc_id"), col("fp"), col("event_time"))
+      .as[DocChunkT]
+    watermarked
+      .groupByKey(r => ChunkKey(r.chunk_idx, r.chunk))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: ChunkKey, rows: Iterator[DocChunkT], state: GroupState[BucketState]) =>
+          updateBucket(maxHamming, maxMembers, rows.map(r => (r.doc_id, r.fp)), state,
+            // deadline re-arms on every arrival: watermark-now + retention.
+            // setTimeoutTimestamp requires a value beyond the current
+            // watermark — watermark + retention always is (retention > 0).
+            st => st.setTimeoutTimestamp(st.getCurrentWatermarkMs() + retentionMs))
       }
   }
 }

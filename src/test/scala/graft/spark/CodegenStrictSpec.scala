@@ -1,0 +1,157 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{CrossEngine, MinHashKernel, PlaneKernel}
+
+/** EVERY graft_* expression must actually compile under whole-stage codegen.
+  *
+  * Round 2 shipped graft_simhash56 emitting a call to a NESTED Scala object
+  * (`CrossEngine.SimHash56.fingerprint`) — nested objects get no static
+  * forwarder, Janino rejected the generated class, and Spark logged an ERROR
+  * then silently fell back to interpreted evaluation for every stage
+  * containing the expression (VERDICT r2, What's wrong #2). With
+  * `spark.sql.codegen.fallback=false` that failure is a thrown exception —
+  * this suite evaluates each expression under that setting AND checks the
+  * codegen value against the kernel's direct (interpreted) result, so a
+  * silent fallback or an eval/codegen divergence can never ship again.
+  */
+class CodegenStrictSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Run `body` with codegen failures fatal (no interpreted fallback, and
+    * expression-level factories forced to CODEGEN_ONLY). */
+  private def strictCodegen[T](body: => T): T = {
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
+  private val rnd = new scala.util.Random(11)
+  private val vecA = Array.fill(64)(rnd.nextInt(2001).toLong - 1000)
+  private val vecB = Array.fill(64)(rnd.nextInt(2001).toLong - 1000)
+  private val shingles = Array.fill(40)(rnd.nextLong())
+  private val grams = Array("tok1 tok2 tok3", "a b c", "ünïcode gram", "x:y")
+  private val text = (1 to 30).map(i => s"w${i % 11}").mkString(" ")
+
+  private def arr(a: Array[Long]) = new GenericArrayData(a)
+
+  test("graft_minhash_sig compiles strictly and matches the kernel") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val got = strictCodegen {
+      Seq(shingles).toDF("sh")
+        .select(call_function("graft_minhash_sig", col("sh"), lit(16), lit(42L)))
+        .collect().head.getSeq[Long](0)
+    }
+    assert(got == MinHashKernel.signature(arr(shingles), 16, 42L).toLongArray().toSeq)
+  }
+
+  test("graft_band_hashes compiles strictly and matches the kernel") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val sig = MinHashKernel.signature(arr(shingles), 12, 42L).toLongArray()
+    val got = strictCodegen {
+      Seq(sig).toDF("sig")
+        .select(call_function("graft_band_hashes", col("sig"), lit(4), lit(3), lit(42L)))
+        .collect().head.getSeq[Long](0)
+    }
+    assert(got == MinHashKernel.bands(arr(sig), 4, 3, 42L).toLongArray().toSeq)
+  }
+
+  test("graft_plane_bits compiles strictly and matches the kernel") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val got = strictCodegen {
+      Seq(vecA).toDF("v")
+        .select(call_function("graft_plane_bits", col("v"), lit("ann"), lit(24)))
+        .collect().head.getLong(0)
+    }
+    assert(got == PlaneKernel.bits(arr(vecA), "ann", 24))
+  }
+
+  test("graft_plane_dots compiles strictly and matches the kernel") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val got = strictCodegen {
+      Seq(vecA).toDF("v")
+        .select(call_function("graft_plane_dots", col("v"), lit("mips"), lit(16)))
+        .collect().head.getSeq[Long](0)
+    }
+    assert(got == PlaneKernel.dots(arr(vecA), "mips", 16).toLongArray().toSeq)
+  }
+
+  test("graft_cosq compiles strictly and matches the kernel") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val got = strictCodegen {
+      Seq((vecA, vecB)).toDF("a", "b")
+        .select(call_function("graft_cosq", col("a"), col("b")))
+        .collect().head.getDouble(0)
+    }
+    assert(java.lang.Double.doubleToRawLongBits(got) ==
+      java.lang.Double.doubleToRawLongBits(PlaneKernel.cosq(arr(vecA), arr(vecB))))
+  }
+
+  test("graft_md5_minhash compiles strictly and matches the kernel") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val got = strictCodegen {
+      Seq(grams).toDF("g")
+        .select(call_function("graft_md5_minhash", col("g"), lit(8)))
+        .collect().head.getSeq[Long](0)
+    }
+    val want = CrossEngine.md5MinHash(
+      new GenericArrayData(grams.map(UTF8String.fromString).toArray[Any]), 8)
+    assert(got == want.toLongArray().toSeq)
+  }
+
+  test("graft_md5_minhash_text compiles strictly and matches the kernel") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val got = strictCodegen {
+      Seq(text).toDF("t")
+        .select(call_function("graft_md5_minhash_text", col("t"), lit(3), lit(16)))
+        .collect().head.getSeq[Long](0)
+    }
+    val want = CrossEngine.md5MinHashText(UTF8String.fromString(text), 3, 16)
+    assert(got == want.toLongArray().toSeq)
+  }
+
+  test("graft_simhash56 compiles strictly and matches the kernel (r2 regression)") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val got = strictCodegen {
+      Seq(text).toDF("t")
+        .select(call_function("graft_simhash56", col("t")))
+        .collect().head.getLong(0)
+    }
+    assert(got == CrossEngine.SimHash56.fingerprint(text.split(" ", -1)))
+    assert(got == CrossEngine.simhash56(UTF8String.fromString(text)))
+  }
+
+  test("md5-minhash lane count above MaxLanes fails at PLAN time, not per-row") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(text).toDF("t")
+        .select(call_function("graft_md5_minhash_text", col("t"), lit(3), lit(65)))
+        .collect()
+    }
+    assert(e.getMessage.contains("k must be in"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(grams).toDF("g")
+        .select(call_function("graft_md5_minhash", col("g"), lit(999)))
+        .collect()
+    }
+    assert(e2.getMessage.contains("k must be in"))
+  }
+}
