@@ -112,13 +112,21 @@ object GraftExpressions {
       "graft_band_hashes",
       exprs => BandHashesExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2)), lit2Long(exprs(3))),
       "built-in")
+    // 3-arg form = offset 0; 4-arg form = (v, tag, off, n) for multi-table
+    // plane layouts (table t reads global planes [t·b, (t+1)·b))
     registry.createOrReplaceTempFunction(
       "graft_plane_bits",
-      exprs => PlaneBitsExpr(exprs(0), lit2Str(exprs(1)), lit2Int(exprs(2))),
+      exprs =>
+        if (exprs.length == 4)
+          PlaneBitsExpr(exprs(0), lit2Str(exprs(1)), lit2Int(exprs(2)), lit2Int(exprs(3)))
+        else PlaneBitsExpr(exprs(0), lit2Str(exprs(1)), 0, lit2Int(exprs(2))),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_plane_dots",
-      exprs => PlaneDotsExpr(exprs(0), lit2Str(exprs(1)), lit2Int(exprs(2))),
+      exprs =>
+        if (exprs.length == 4)
+          PlaneDotsExpr(exprs(0), lit2Str(exprs(1)), lit2Int(exprs(2)), lit2Int(exprs(3)))
+        else PlaneDotsExpr(exprs(0), lit2Str(exprs(1)), 0, lit2Int(exprs(2))),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_cosq",

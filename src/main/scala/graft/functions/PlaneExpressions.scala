@@ -29,14 +29,19 @@ object PlaneKernel {
       Array.tabulate(nn)(p => Array.tabulate(d)(i => CrossEngine.rademacher(t, p, i).toLong))
     })
 
-  /** Packed sign bits: bit p set iff plane-p dot ≥ 0. */
-  def bits(v: ArrayData, tag: String, n: Int): Long = {
+  /** Packed sign bits of GLOBAL planes off..off+n−1: local bit j set iff
+    * plane (off+j) dot ≥ 0. The offset form is what lets a multi-table
+    * layout use table t = planes [t·b, (t+1)·b) for ANY bucket width b ≤ 63
+    * — the round-2 form packed all tables into one 64-bit signature, which
+    * capped 8 tables at 8 bits each and could not express the ≥20-bit
+    * buckets the log-n rule demands at 10⁹ vectors. */
+  def bits(v: ArrayData, tag: String, off: Int, n: Int): Long = {
     val dim = v.numElements()
-    val pl = planes(tag, n, dim)
+    val pl = planes(tag, off + n, dim)
     var fp = 0L
     var p = 0
     while (p < n) {
-      val row = pl(p)
+      val row = pl(off + p)
       var dot = 0L
       var i = 0
       while (i < dim) { dot += row(i) * v.getLong(i); i += 1 }
@@ -46,15 +51,17 @@ object PlaneKernel {
     fp
   }
 
-  /** Raw plane dot products (for transforms that add norm terms, e.g.
-    * SignALSH's P-transform). */
-  def dots(v: ArrayData, tag: String, n: Int): ArrayData = {
+  def bits(v: ArrayData, tag: String, n: Int): Long = bits(v, tag, 0, n)
+
+  /** Raw dot products of GLOBAL planes off..off+n−1 (for transforms that add
+    * norm terms, e.g. SignALSH's P-transform; offset = multi-table layout). */
+  def dots(v: ArrayData, tag: String, off: Int, n: Int): ArrayData = {
     val dim = v.numElements()
-    val pl = planes(tag, n, dim)
+    val pl = planes(tag, off + n, dim)
     val out = new Array[Long](n)
     var p = 0
     while (p < n) {
-      val row = pl(p)
+      val row = pl(off + p)
       var dot = 0L
       var i = 0
       while (i < dim) { dot += row(i) * v.getLong(i); i += 1 }
@@ -63,6 +70,8 @@ object PlaneKernel {
     }
     new GenericArrayData(out)
   }
+
+  def dots(v: ArrayData, tag: String, n: Int): ArrayData = dots(v, tag, 0, n)
 
   /** Exact quantized cosine: identical IEEE sequence to the built-in tree
     * cast(dot)/(sqrt(cast(na))*sqrt(cast(nb))) — bitwise-equal output. */
@@ -91,29 +100,38 @@ private[functions] trait LongArrayInput { self: Expression =>
   }
 }
 
-/** graft_plane_bits(v, tag, n): packed Rademacher-hyperplane sign bits. */
-case class PlaneBitsExpr(child: Expression, tag: String, n: Int)
+/** graft_plane_bits(v, tag, [off,] n): packed sign bits of Rademacher
+  * hyperplanes off..off+n−1 (off defaults to 0; n ≤ 64 — one packed long;
+  * the multi-table caller passes one call per table). */
+case class PlaneBitsExpr(child: Expression, tag: String, off: Int, n: Int)
     extends UnaryExpression with LongArrayInput {
-  override def checkInputDataTypes(): TypeCheckResult = arrayInputCheck(child.dataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (off < 0 || n < 1 || n > 64)
+      TypeCheckResult.TypeCheckFailure(s"need off ≥ 0 and 1 ≤ n ≤ 64, got off=$off n=$n")
+    else arrayInputCheck(child.dataType)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    PlaneKernel.bits(input.asInstanceOf[ArrayData], tag, n)
+    PlaneKernel.bits(input.asInstanceOf[ArrayData], tag, off, n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"""graft.functions.PlaneKernel.bits($c, "$tag", $n)""")
+    defineCodeGen(ctx, ev, c => s"""graft.functions.PlaneKernel.bits($c, "$tag", $off, $n)""")
   override protected def withNewChildInternal(newChild: Expression): PlaneBitsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_plane_bits"
 }
 
-/** graft_plane_dots(v, tag, n): raw integer plane dot products. */
-case class PlaneDotsExpr(child: Expression, tag: String, n: Int)
+/** graft_plane_dots(v, tag, [off,] n): raw integer dot products of planes
+  * off..off+n−1 (off defaults to 0). */
+case class PlaneDotsExpr(child: Expression, tag: String, off: Int, n: Int)
     extends UnaryExpression with LongArrayInput {
-  override def checkInputDataTypes(): TypeCheckResult = arrayInputCheck(child.dataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (off < 0 || n < 1)
+      TypeCheckResult.TypeCheckFailure(s"need off ≥ 0 and n ≥ 1, got off=$off n=$n")
+    else arrayInputCheck(child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    PlaneKernel.dots(input.asInstanceOf[ArrayData], tag, n)
+    PlaneKernel.dots(input.asInstanceOf[ArrayData], tag, off, n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"""graft.functions.PlaneKernel.dots($c, "$tag", $n)""")
+    defineCodeGen(ctx, ev, c => s"""graft.functions.PlaneKernel.dots($c, "$tag", $off, $n)""")
   override protected def withNewChildInternal(newChild: Expression): PlaneDotsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_plane_dots"

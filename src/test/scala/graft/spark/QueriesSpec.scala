@@ -22,4 +22,23 @@ class QueriesSpec extends AnyFunSuite {
       assert(fn(spark, dir).count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("ngramJaccardPairs production default df-caps boilerplate shingles") {
+    import spark.implicits._
+    // 30 docs share only boilerplate trigrams (df 30); docs 101/102 are
+    // genuine near-dups through low-df shingles. The production entry must
+    // drop the O(df²) boilerplate bucket but keep the true pair.
+    val boiler = "COPYRIGHT FOOTER TEXT"
+    val d = ((1L to 30L).map(i => (i, s"unique$i words here $boiler")) :+
+      (101L, "alpha beta gamma delta epsilon zeta") :+
+      (102L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val capped = graft.SparkEntry.ngramJaccardPairs(d, 0.3, dfCap = 20L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)))
+    // with the cap above every df, the boilerplate pairs flood back in —
+    // the capped form really is what removed them
+    val uncapped = graft.SparkEntry.ngramJaccardPairs(d, 0.3, dfCap = 1000L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((101L, 102L)))
+  }
 }
