@@ -18,10 +18,10 @@ object GraftSession {
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cores * 4).toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cores.toString)
       .config("spark.shuffle.file.buffer", "1m")
       .config("spark.shuffle.unsafe.file.output.buffer", "4m")
       .config("spark.shuffle.spill.diskWriteBufferSize", "8m")

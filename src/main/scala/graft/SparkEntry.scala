@@ -98,18 +98,23 @@ object SparkEntry {
     val sh = dfCap match {
       case Some(cap) =>
         shAll.join(
-          shAll.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s"),
+          shAll.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
+            .hint("shuffle_hash"), // unbounded key set — no broadcast flips
           "s")
       case None => shAll
     }
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      // shingle self-join: corpus×shingles-sized side, df-skewed key →
+      // sort-merge (AQE can skew-split it; a broadcast of it is unbounded)
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("merge"), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    // per-doc sizes are one row per CORPUS doc — narrow, uniform ids:
+    // shuffle-hash, not broadcast (unbounded at 10^12 docs)
     inter
-      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("jaccard"))
@@ -291,13 +296,20 @@ object SparkEntry {
           .hint("shuffle_hash"),
         keys)
       val cand = ok.select(col("table_idx"), col("bucket"), col("vec_id").as("vec_a"))
-        .join(ok.select(col("table_idx"), col("bucket"), col("vec_id").as("vec_b")), keys)
+        .join(
+          // corpus-sized self-join side: keep it off the broadcast path
+          // (narrow rows, census-capped keys → shuffle-hash)
+          ok.select(col("table_idx"), col("bucket"), col("vec_id").as("vec_b"))
+            .hint("shuffle_hash"),
+          keys)
         .where(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b")
         .dropDuplicates("vec_a", "vec_b") // ids only: no 64-lane vectors in this exchange
       cand
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+        // the vector re-join sides are the WHOLE embedding table (unique
+        // keys, wide array payload): sort-merge, never broadcast
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")).hint("merge"), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")).hint("merge"), "vec_b")
         .select(col("vec_a"), col("vec_b"),
           call_function("graft_cosq", col("va"), col("vb")).as("cos_sim"))
         .where(col("cos_sim") >= 0.35)

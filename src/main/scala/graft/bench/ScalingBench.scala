@@ -65,6 +65,10 @@ object ScalingBench {
     val outMd = if (args.length > 1) args(1) else "BENCH/BASELINE.md"
     val nLow = if (args.length > 2) args(2).toInt else 8
     val nHigh = if (args.length > 3) args(3).toInt else 32
+    // measured reps per variant: min-of-reps. 1 is defensible at 2/8 cores
+    // (walls stable ±10% there, BENCH/BASELINE.md round-2 evidence) and
+    // halves a multi-hour headline run; 32-core levels need ≥2.
+    val reps = if (args.length > 4) args(4).toInt else 2
     val cfg = DedupConfig(seed = 42L)
 
     def levelRun(cores: Int): Level = {
@@ -74,13 +78,8 @@ object ScalingBench {
         // iterations in this JVM (measured: 5-20× on iteration 1)
         timedInMemory(spark, nDocs / 8, cfg, cores)
         timedInMemory(spark, nDocs / 8, cfg, cores)
-        // measured: best of 2 full-size runs (min = least external noise)
-        val inMem = math.min(
-          timedInMemory(spark, nDocs, cfg, cores),
-          timedInMemory(spark, nDocs, cfg, cores))
-        val ckpt = math.min(
-          timedCheckpointed(spark, nDocs, cfg, cores),
-          timedCheckpointed(spark, nDocs, cfg, cores))
+        val inMem = (1 to reps).map(_ => timedInMemory(spark, nDocs, cfg, cores)).min
+        val ckpt = (1 to reps).map(_ => timedCheckpointed(spark, nDocs, cfg, cores)).min
         Level(cores, inMem, ckpt)
       } finally spark.stop()
     }

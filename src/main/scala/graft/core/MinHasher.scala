@@ -10,8 +10,19 @@ package graft.core
   * preserving Pr[h(A)=h(B)] = J(A,B) (:142) up to ≈2⁻⁶⁴ collision noise.
   *
   * Comparisons are UNSIGNED (Julia UInt64 min); see [[Rng.unsignedKey]].
+  *
+  * Fixed-universe mode (minhash.jl:155-158): when `universe` is supplied the
+  * hasher THROWS on any symbol outside it — the reference's `fixed_symbols`
+  * contract. The distributed pipeline deliberately does NOT use this mode (a
+  * fixed dictionary cannot be updated coordination-free across executors,
+  * and Pr[h(A)=h(B)] = J holds either way); it exists for API parity and for
+  * callers that want typo'd symbol streams to fail fast instead of silently
+  * hashing garbage.
   */
-final case class MinHasher(nHashes: Int, seed: Long = 0L)
+final case class MinHasher(
+    nHashes: Int,
+    seed: Long = 0L,
+    universe: Option[Set[Long]] = None)
     extends SymmetricHashFamily[Array[Long], Array[Long]] {
   require(nHashes > 0, "n_hashes must be positive")
 
@@ -27,6 +38,15 @@ final case class MinHasher(nHashes: Int, seed: Long = 0L)
     * docs never spuriously beat real minima; the verify stage's J(∅,∅)=0
     * convention rejects empty-empty pairs downstream. */
   def apply(shingles: Array[Long]): Array[Long] = {
+    universe.foreach { u =>
+      var j = 0
+      while (j < shingles.length) {
+        if (!u.contains(shingles(j)))
+          throw new IllegalArgumentException(
+            s"Symbol ${shingles(j)} not found") // minhash.jl:155-158 contract
+        j += 1
+      }
+    }
     val sig = new Array[Long](nHashes)
     var i = 0
     while (i < nHashes) {

@@ -117,6 +117,77 @@ object Similarities {
     math.sqrt(s)
   }
 
+  // ---------------------------------------------------------------- sparse
+
+  /** Sparse vector: strictly increasing `indices` into a logical vector of
+    * length `size`, with the matching non-zero `values` — the reference's
+    * SparseVector fast paths (/root/reference/src/utils/vecops.jl:15-29:
+    * col_norms touches only nzval) generalized to the similarity kernels.
+    * Every operation below is O(nnz), never O(size) — the point of sparse
+    * TF-IDF-style features where size ≫ nnz. */
+  final case class SparseVec(indices: Array[Int], values: Array[Double], size: Int) {
+    require(indices.length == values.length, "indices/values length mismatch")
+    locally {
+      var i = 1
+      while (i < indices.length) {
+        require(indices(i - 1) < indices(i), "indices must be strictly increasing")
+        i += 1
+      }
+    }
+    require(indices.isEmpty || (indices(0) >= 0 && indices(indices.length - 1) < size),
+      "index out of range")
+    def nnz: Int = indices.length
+    def toDense: Array[Double] = {
+      val d = new Array[Double](size)
+      var i = 0
+      while (i < indices.length) { d(indices(i)) = values(i); i += 1 }
+      d
+    }
+  }
+
+  /** ‖x‖₂ over stored entries only (vecops.jl:15-16). */
+  def l2Norm(x: SparseVec): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.values.length) { s += x.values(i) * x.values(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** ⟨x,y⟩ by two-pointer merge over the sorted index lists — O(nnz_x+nnz_y). */
+  def innerProd(x: SparseVec, y: SparseVec): Double = {
+    require(x.size == y.size, s"length mismatch: ${x.size} vs ${y.size}")
+    var i = 0; var j = 0; var s = 0.0
+    while (i < x.indices.length && j < y.indices.length) {
+      val xi = x.indices(i); val yj = y.indices(j)
+      if (xi == yj) { s += x.values(i) * y.values(j); i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  def cossim(x: SparseVec, y: SparseVec): Double = {
+    val nx = l2Norm(x); val ny = l2Norm(y)
+    require(nx > 0, "cossim undefined for zero vector x")
+    require(ny > 0, "cossim undefined for zero vector y")
+    innerProd(x, y) / (nx * ny)
+  }
+
+  /** ‖x−y‖₂ without densifying (merge; unmatched entries contribute v²). */
+  def l2Dist(x: SparseVec, y: SparseVec): Double = {
+    require(x.size == y.size, s"length mismatch: ${x.size} vs ${y.size}")
+    var i = 0; var j = 0; var s = 0.0
+    while (i < x.indices.length || j < y.indices.length) {
+      if (j >= y.indices.length || (i < x.indices.length && x.indices(i) < y.indices(j))) {
+        s += x.values(i) * x.values(i); i += 1
+      } else if (i >= x.indices.length || y.indices(j) < x.indices(i)) {
+        s += y.values(j) * y.values(j); j += 1
+      } else {
+        val d = x.values(i) - y.values(j); s += d * d; i += 1; j += 1
+      }
+    }
+    math.sqrt(s)
+  }
+
   /** Adaptive-free composite Simpson quadrature — test-oracle only, mirrors
     * the reference's QuadGK use for function-space integrals and the LpHash
     * collision-probability integral (/root/reference/src/hashes/lphash.jl:184-203). */

@@ -225,8 +225,13 @@ object Dedup {
     * to the shingle sets by doc id (sort-merge at scale; the shingles relation
     * is reused from the signature stage, so cache/checkpoint it upstream). */
   def verify(candidates: DataFrame, shingles: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sa = shingles.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = shingles.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    // CORPUS-sized sides with heavy array payloads, but their narrow cached
+    // projection makes the planner's estimate tiny → it broadcast them
+    // (seen in PLANS.md r3: BroadcastExchange of (id, shingles) — unbounded
+    // at 10^12 docs). hint("merge") = sort-merge: scale-safe AND eligible
+    // for AQE skew splitting, unlike shuffle_hash.
+    val sa = shingles.select(col("id").as("id_a"), col("shingles").as("sh_a")).hint("merge")
+    val sb = shingles.select(col("id").as("id_b"), col("shingles").as("sh_b")).hint("merge")
     candidates
       .join(sa, "id_a")
       .join(sb, "id_b")

@@ -74,7 +74,12 @@ object SimHashDedup {
     // unlike the embedding vectors in the ANN path
     ok.select(col("chunk_idx"), col("chunk"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
       .join(
-        ok.select(col("chunk_idx"), col("chunk"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+        // the self-join side is corpus-sized too (the census gate bounds
+        // BUCKETS, not the relation) — without the hint the planner
+        // broadcast it at test scale (PLANS.md r3); narrow 16B rows and
+        // cap-bounded keys make shuffle-hash the right strategy
+        ok.select(col("chunk_idx"), col("chunk"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+          .hint("shuffle_hash"),
         keys)
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

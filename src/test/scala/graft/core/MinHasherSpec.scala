@@ -64,4 +64,13 @@ class MinHasherSpec extends AnyFunSuite {
   test("n_hashes must be positive") {
     assertThrows[IllegalArgumentException](MinHasher(0, seed))
   }
+
+  test("fixed-universe mode throws on unknown symbols (minhash.jl:155-158)") {
+    val known = Array(1L, 2L, 3L, 4L)
+    val h = MinHasher(8, seed, universe = Some(known.toSet))
+    // known symbols hash exactly like the unrestricted hasher (same seeds)
+    assert(h(known).sameElements(MinHasher(8, seed)(known)))
+    val e = intercept[IllegalArgumentException](h(Array(1L, 99L)))
+    assert(e.getMessage.contains("Symbol 99 not found"))
+  }
 }

@@ -116,4 +116,30 @@ class SimilaritiesSpec extends AnyFunSuite {
     assert(p1 > p2)
     assert(math.abs(p1 - (1 - math.pow(1 - math.pow(0.8, 3), 4))) < 1e-12)
   }
+
+  test("sparse kernels agree with their dense forms and stay O(nnz)") {
+    import Similarities.SparseVec
+    val x = SparseVec(Array(2, 7, 500000), Array(1.5, -2.0, 3.0), 1000000)
+    val y = SparseVec(Array(2, 9, 500000), Array(4.0, 1.0, -1.0), 1000000)
+    // values: dot = 1.5*4.0 + 3.0*(-1.0) = 3.0 over shared indices only
+    assert(Similarities.innerProd(x, y) == 3.0)
+    assert(Similarities.l2Norm(x) == math.sqrt(1.5 * 1.5 + 4.0 + 9.0))
+    // dense cross-check on a SMALL logical size (toDense for 10^6 would
+    // defeat the point; shrink the same structure)
+    val xs = SparseVec(Array(2, 7, 12), Array(1.5, -2.0, 3.0), 16)
+    val ys = SparseVec(Array(2, 9, 12), Array(4.0, 1.0, -1.0), 16)
+    assert(Similarities.innerProd(xs, ys) ==
+      Similarities.innerProd(xs.toDense, ys.toDense))
+    assert(Similarities.cossim(xs, ys) ==
+      Similarities.cossim(xs.toDense, ys.toDense))
+    assert(math.abs(Similarities.l2Dist(xs, ys) -
+      Similarities.l2Dist(xs.toDense, ys.toDense)) < 1e-12)
+    // contract guards
+    assertThrows[IllegalArgumentException](
+      SparseVec(Array(3, 2), Array(1.0, 1.0), 10)) // not increasing
+    assertThrows[IllegalArgumentException](
+      Similarities.innerProd(x, SparseVec(Array(0), Array(1.0), 5)))
+    assertThrows[IllegalArgumentException](
+      Similarities.cossim(SparseVec(Array.empty[Int], Array.empty[Double], 16), ys))
+  }
 }
