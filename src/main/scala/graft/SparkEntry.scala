@@ -68,6 +68,18 @@ object SparkEntry {
       math.max(4, (0 to 57).find(b => (targetBucket << b) >= n).getOrElse(57))
   }
 
+  /** Function-word lexicons for the scored language-ID heuristic (top
+    * frequency lists — public linguistic commons; mirrored in the oracle). */
+  private[graft] object LangLex {
+    val en = Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for")
+    val de = Seq("der", "die", "das", "und", "ist", "von", "zu", "den", "nicht", "mit")
+    val fr = Seq("le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour")
+    val es = Seq("el", "los", "las", "y", "es", "una", "por", "con", "para", "como")
+  }
+
+  /** BPE-ish pre-tokenizer pattern — portable between Java regex and RE2. */
+  private[graft] val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
@@ -170,16 +182,45 @@ object SparkEntry {
           (sumLen.cast("double") / nWords.cast("double")).as("avg_wlen"))
         .orderBy("doc_id")
     }),
-    "q_lang_id" -> ((s, dir) =>
+    "q_lang_id" -> ((s, dir) => {
+      // Lexicon-scored language ID: occurrences of each language's
+      // high-frequency function words over the token stream, argmax with a
+      // deterministic tie-break (en > de > fr > es), all-zero → unknown.
+      // (Round 1-2 used a first-match contains() chain — one token decided
+      // the language; this weighs evidence, which is what an n-gram
+      // heuristic means.) Exact integer counts → bitwise-oracleable.
+      val ws = split(col("text"), " ", -1)
+      def score(lex: Seq[String]): Column =
+        size(filter(ws, w => array_contains(array(lex.map(lit): _*), w))).cast("long")
+      val sEn = score(LangLex.en); val sDe = score(LangLex.de)
+      val sFr = score(LangLex.fr); val sEs = score(LangLex.es)
+      val m = greatest(sEn, sDe, sFr, sEs)
       docs(s, dir)
         .select(
           col("doc_id"),
-          when(col("text").contains(" the "), "en")
-            .when(col("text").contains(" der "), "de")
-            .when(col("text").contains(" le "), "fr")
-            .when(col("text").contains(" el "), "es")
-            .otherwise("unknown").as("lang_pred"))
-        .orderBy("doc_id")),
+          when(m === 0, "unknown")
+            .when(sEn === m, "en")
+            .when(sDe === m, "de")
+            .when(sFr === m, "fr")
+            .otherwise("es").as("lang_pred"),
+          m.as("score"))
+        .orderBy("doc_id")
+    }),
+    "q_bpe_tokens" -> ((s, dir) => {
+      // BPE-style pre-tokenization (the GPT-2 pretokenizer's character-class
+      // core): letter runs, digit runs, single punctuation marks. The
+      // pattern uses only portable character classes, so Java regex (Spark)
+      // and RE2 (DuckDB) tokenize identically symbol-for-symbol.
+      val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_subtokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct_subtokens"),
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v)
+            .as("n_subtoken_chars"))
+        .orderBy("doc_id")
+    }),
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       jaccardPairsBy(docs(s, dir), 0.05,
         GraftFunctions.shingleHashesUdf(3, lshConfig.seed)(_))),
@@ -434,14 +475,31 @@ object SparkEntry {
           |  CAST(len(list_filter(ws, x -> x IN ('the','a','an','of','to','and','in','on','is','it'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
           |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_wlen
           |FROM w ORDER BY doc_id""".stripMargin,
-      "q_lang_id" ->
-        """SELECT doc_id,
-          |  CASE WHEN contains(text, ' the ') THEN 'en'
-          |       WHEN contains(text, ' der ') THEN 'de'
-          |       WHEN contains(text, ' le ') THEN 'fr'
-          |       WHEN contains(text, ' el ') THEN 'es'
-          |       ELSE 'unknown' END AS lang_pred
-          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_lang_id" -> {
+        def inList(lex: Seq[String]): String = lex.map(w => s"'$w'").mkString(", ")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sc AS (SELECT doc_id,
+           |  CAST(len(list_filter(ws, x -> x IN (${inList(LangLex.en)}))) AS BIGINT) AS s_en,
+           |  CAST(len(list_filter(ws, x -> x IN (${inList(LangLex.de)}))) AS BIGINT) AS s_de,
+           |  CAST(len(list_filter(ws, x -> x IN (${inList(LangLex.fr)}))) AS BIGINT) AS s_fr,
+           |  CAST(len(list_filter(ws, x -> x IN (${inList(LangLex.es)}))) AS BIGINT) AS s_es
+           |  FROM w)
+           |SELECT doc_id,
+           |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+           |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+           |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           |       ELSE 'es' END AS lang_pred,
+           |  greatest(s_en, s_de, s_fr, s_es) AS score
+           |FROM sc ORDER BY doc_id""".stripMargin
+      },
+      "q_bpe_tokens" ->
+        raw"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_subtokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_subtokens,
+           |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_subtoken_chars
+           |FROM t ORDER BY doc_id""".stripMargin,
       "q_ngram_jaccard_pairs" ->
         s"""WITH $pairCtes
            |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,

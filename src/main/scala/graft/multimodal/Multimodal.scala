@@ -58,6 +58,60 @@ object Multimodal {
     }
   }
 
+  /** REAL header parsing for container formats whose typed metadata is pure
+    * byte arithmetic — no codec required, so this part of the decode path is
+    * NOT stubbed. BMP (BITMAPINFOHEADER: 'BM', int32-LE width/height at
+    * offsets 18/22) and canonical WAV (RIFF/WAVE with a leading fmt chunk:
+    * uint16-LE channels @22, uint32-LE sample rate @24, uint16-LE bits
+    * @34) cover the image/audio metadata contract; entropy-coded formats
+    * (JPEG/PNG/MP3) still route to [[StubDecoder]]. */
+  object Headers {
+    final case class MediaHeader(
+        format: String, width: Int, height: Int,
+        channels: Int, sampleRate: Int, bitsPerSample: Int)
+
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    private def ascii(b: Array[Byte], off: Int, s: String): Boolean = {
+      var i = 0
+      while (i < s.length) { if (b(off + i) != s.charAt(i).toByte) return false; i += 1 }
+      true
+    }
+
+    def parse(bytes: Array[Byte]): Option[MediaHeader] =
+      if (bytes.length >= 26 && ascii(bytes, 0, "BM"))
+        Some(MediaHeader("bmp", le32(bytes, 18), le32(bytes, 22), 0, 0, 0))
+      else if (bytes.length >= 36 && ascii(bytes, 0, "RIFF") &&
+          ascii(bytes, 8, "WAVE") && ascii(bytes, 12, "fmt "))
+        Some(MediaHeader("wav", 0, 0,
+          le16(bytes, 22), le32(bytes, 24), le16(bytes, 34)))
+      else None
+  }
+
+  final case class TypedMeta(
+      id: Long, kind: String, format: String, width: Int, height: Int,
+      channels: Int, sample_rate: Int, bits_per_sample: Int)
+
+  /** Typed per-format metadata via the REAL header parser (batched
+    * mapPartitions like [[extractFeatures]]); unparseable payloads surface
+    * as format="unknown" rather than being dropped — at web scale silent
+    * row loss in a metadata pass corrupts joins downstream. */
+  def typedMetadata(media: Dataset[MediaRow]): Dataset[TypedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      Headers.parse(r.bytes) match {
+        case Some(h) =>
+          TypedMeta(r.id, r.kind, h.format, h.width, h.height,
+            h.channels, h.sampleRate, h.bitsPerSample)
+        case None => TypedMeta(r.id, r.kind, "unknown", 0, 0, 0, 0, 0)
+      }
+    })
+  }
+
   /** Metadata extraction never touches the decoder — pure column ops, so the
     * scan prunes to exactly (id, kind, bytes-length statistics). */
   def metadata(media: DataFrame): DataFrame =

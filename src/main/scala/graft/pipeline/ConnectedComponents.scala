@@ -39,9 +39,9 @@ object ConnectedComponents {
     // DataFrame; without explicit release every CC run leaks blocks into the
     // block manager for the session's lifetime. Track the persisted RDD ids
     // via the context registry and drop superseded iterations eagerly.
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[Int]) = {
+    def checkpointTracked(df: DataFrame, eager: Boolean = true): (DataFrame, Seq[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(eager = true)
+      val out = df.localCheckpoint(eager = eager)
       val added = sc.getPersistentRDDs.keysIterator.filterNot(before).toSeq
       (out, added)
     }
@@ -79,9 +79,14 @@ object ConnectedComponents {
           col("id"),
           col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("mid"))
+      // the round's label relation is checkpointed LAZILY and materialized
+      // by the (full-scan) convergence count below — one job per round
+      // instead of checkpoint-job + probe-job. The count is exact, not a
+      // limit(1) probe: a partial action would checkpoint only the
+      // partitions it touched and silently recompute the rest later.
       val (next, nextIds) =
         if (iter < jumpFromRound) {
-          checkpointTracked(stepped.withColumnRenamed("mid", "cluster_id"))
+          checkpointTracked(stepped.withColumnRenamed("mid", "cluster_id"), eager = false)
         } else {
           // step 2 (pointer jumping): label(v) ← label(label(v)). Labels are
           // always vertex ids (mins over ids), so the lookup side is
@@ -90,6 +95,9 @@ object ConnectedComponents {
           // pmid ≤ mid and least() is exact. The join key is hot for giant
           // components but each left row matches exactly one right row —
           // no blow-up; AQE skew splitting is the backstop.
+          // steppedCk stays EAGER: both join sides read it, and a lazy
+          // checkpoint first materialized by a two-scan job can race its
+          // own cache fill (duplicate compute)
           val (steppedCk, stepIds) = checkpointTracked(stepped)
           val res = checkpointTracked(
             steppedCk
@@ -100,11 +108,14 @@ object ConnectedComponents {
               .select(
                 col("id"),
                 col("old"),
-                least(col("mid"), coalesce(col("pmid"), col("mid"))).as("cluster_id")))
+                least(col("mid"), coalesce(col("pmid"), col("mid"))).as("cluster_id")),
+            eager = false)
           release(stepIds)
           res
         }
-      val changed = next.where(col("cluster_id") =!= col("old")).limit(1).count()
+      val changed = next
+        .agg(count(when(col("cluster_id") =!= col("old"), 1)).as("c"))
+        .first().getLong(0)
       converged = changed == 0
       iter += 1
       release(labelIds)

@@ -261,8 +261,12 @@ object Dedup {
     // carries a pathological ~0.5 GiB accounting in this runtime that
     // evicts checkpoint blocks. The checkpointed pipeline gates the same
     // way on its census stats.
+    // full-scan count, not a limit(1) probe: the probe is the census
+    // cache's FIRST action, and a partial action caches only the partitions
+    // it touched — the gate join would then recompute the rest
     val hasHot = cfg.saltWindow > 0 &&
-      census.where(col("bucket_size") > cfg.maxBucket).limit(1).count() > 0
+      census.agg(count(when(col("bucket_size") > cfg.maxBucket, 1)).as("c"))
+        .first().getLong(0) > 0
     val base = candidatesFromCensus(bandsDf, census, cfg)
     val pairs =
       if (hasHot)

@@ -56,4 +56,42 @@ class MultimodalSpec extends AnyFunSuite {
         .forEach(f => java.nio.file.Files.delete(f))
     }
   }
+
+  test("real header decode: BMP and WAV typed metadata from raw bytes") {
+    import spark.implicits._
+    import Multimodal.{Headers, MediaRow}
+    // hand-assemble a minimal BITMAPINFOHEADER bitmap: 'BM', width 640,
+    // height 480 as int32-LE at offsets 18/22
+    val bmp = new Array[Byte](64)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    putLe32(bmp, 18, 640); putLe32(bmp, 22, 480)
+    // canonical 44-byte WAV header: stereo, 44100 Hz, 16-bit
+    val wav = new Array[Byte](64)
+    "RIFF".zipWithIndex.foreach { case (c, i) => wav(i) = c.toByte }
+    "WAVE".zipWithIndex.foreach { case (c, i) => wav(8 + i) = c.toByte }
+    "fmt ".zipWithIndex.foreach { case (c, i) => wav(12 + i) = c.toByte }
+    putLe16(wav, 22, 2); putLe32(wav, 24, 44100); putLe16(wav, 34, 16)
+    // pure-Scala parser contract
+    val hb = Headers.parse(bmp).get
+    assert(hb.format == "bmp" && hb.width == 640 && hb.height == 480)
+    val hw = Headers.parse(wav).get
+    assert(hw.format == "wav" && hw.channels == 2 && hw.sampleRate == 44100 && hw.bitsPerSample == 16)
+    assert(Headers.parse("plain text".getBytes).isEmpty)
+    // distributed path: typedMetadata over a mixed Dataset, unknowns kept
+    val media = Seq(
+      MediaRow(1L, "image", bmp), MediaRow(2L, "audio", wav),
+      MediaRow(3L, "image", "not media".getBytes)).toDS()
+    val rows = Multimodal.typedMetadata(media).collect().sortBy(_.id)
+    assert(rows.map(_.format).toSeq == Seq("bmp", "wav", "unknown"))
+    assert(rows(0).width == 640 && rows(0).height == 480)
+    assert(rows(1).sample_rate == 44100 && rows(1).channels == 2)
+    assert(rows.length == 3) // unparseable rows surfaced, not dropped
+  }
 }
