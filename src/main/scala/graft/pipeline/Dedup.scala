@@ -300,7 +300,7 @@ object Dedup {
     out
   }
 
-  private def withLcsColumn(verified: DataFrame, docs: DataFrame): DataFrame = {
+  private[pipeline] def withLcsColumn(verified: DataFrame, docs: DataFrame): DataFrame = {
     val texts = docs.select(col("id"), col("text"))
     val lcsUdf = udf((a: String, b: String) => graft.core.SuffixArray.lcsLength(a, b))
     verified

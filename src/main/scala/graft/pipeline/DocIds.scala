@@ -77,4 +77,42 @@ object DocIds {
   }
 
   def assign(pages: DataFrame): DataFrame = assign(pages, primaryHash(col("url")))
+
+  /** Incremental-ingest form: assign ids to NEW pages so they are unique AND
+    * disjoint from a FROZEN existing id set (existing ids are immutable —
+    * downstream state references them, so only the new side ever rehashes).
+    * Each round detects both intra-new collisions and collisions against
+    * `existingIds` (a rehash can create either), rehashes exactly the
+    * colliding rows, and repeats — expected rounds ≈ 1, as in [[assign]].
+    * The existing-id side is corpus-sized: joins carry shuffle hints, never
+    * broadcast. */
+  def assignDisjoint(
+      pages: DataFrame,
+      existingIds: DataFrame,
+      maxRounds: Int = 5): DataFrame = {
+    val ex = existingIds.select(col("id"))
+    var df = pages.dropDuplicates("url").withColumn("id", primaryHash(col("url")))
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val intra = df.groupBy("id").count().where(col("count") > 1).select("id")
+      val cross = df.select("id").join(ex.hint("shuffle_hash"), Seq("id"), "left_semi")
+      val colliding = intra.union(cross).distinct()
+      if (colliding.isEmpty) done = true
+      else {
+        df = df
+          .join(colliding.withColumn("collides", lit(true)).hint("shuffle_hash"),
+            Seq("id"), "left")
+          .withColumn("id",
+            when(col("collides"), rehash(col("id"), col("url"))).otherwise(col("id")))
+          .drop("collides")
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"doc-id collisions persist after $maxRounds disjoint-rehash rounds")
+    df
+  }
 }

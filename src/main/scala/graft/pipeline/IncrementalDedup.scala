@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Rng
+import graft.sources.TableIO
+
+/** INCREMENTAL dedup: extend a completed [[CheckpointedDedup]] run with a
+  * batch of newly crawled pages — the production shape at 100 TB, where a
+  * daily increment must not re-hash the petabytes already processed.
+  *
+  * What is reused vs recomputed:
+  *  - REUSED (never re-read text, never re-hashed): the base run's `docs`,
+  *    `shingles`, `signatures` checkpoints — the text-width stages that
+  *    dominate cost;
+  *  - RECOMPUTED over the union (narrow 16 B/row): band hashes → bucket
+  *    census → candidate pairs. Banding is stateless per doc, so the union
+  *    band table is exactly what a from-scratch run would build — this is
+  *    the layer where old and new docs must meet (a new page's duplicate
+  *    may have been crawled a year ago);
+  *  - VERIFIED only for pairs NOT already adjudicated: union candidates
+  *    anti-join the base candidates checkpoint (a pair that was a candidate
+  *    before has a known verdict — in `verified_pairs` or failed the
+  *    threshold; re-verifying it is waste);
+  *  - clusters re-resolved over all ids + the union verified pairs
+  *    (connected components is cheap relative to text hashing).
+  *
+  * Storage is APPEND-ONLY, Iceberg-snapshot style: base stage directories
+  * are never rewritten; increment k writes its own manifest-tracked stage
+  * tables under `baseDir/inc-<k>/` (docs/shingles/signatures hold ONLY the
+  * new rows; candidates/verified_pairs/clusters hold the authoritative
+  * union — pair/cluster tables are O(dup pairs), not O(corpus text)).
+  * [[readAll]] reconstructs any full relation as base ∪ increments.
+  *
+  * Contracts (and the two disclosed divergences from a from-scratch run):
+  *  - id STABILITY: existing doc ids never change; a new url whose hash
+  *    collides with an existing id is rehashed on the NEW side only
+  *    ([[DocIds.assignDisjoint]]). A from-scratch run would rehash both
+  *    sides — id stability is the production contract, and the divergence
+  *    fires at ~2⁻⁶⁴ per pair.
+  *  - MONOTONE verified pairs: a previously verified pair is kept even if
+  *    its bucket later crossed the census cap (a from-scratch run would
+  *    drop the over-cap bucket's candidates — verified knowledge is never
+  *    un-learned).
+  *  - Otherwise output == CheckpointedDedup.run over old ∪ new pages
+  *    (equivalence-tested in IncrementalDedupSpec, planted duplicates
+  *    crossing the base/increment split).
+  */
+object IncrementalDedup {
+
+  final case class IncReport(
+      clusters: DataFrame,
+      verifiedPairs: DataFrame,
+      incDir: String,
+      newDocs: Long,
+      pairsVerified: Long)
+
+  private def incHash(stage: String, salt: String): String =
+    java.lang.Long.toHexString(Rng.hashString(0x494E4352L /* "INCR" */, s"$stage|$salt"))
+
+  private def incDirs(baseDir: String): Seq[String] = {
+    val base = Paths.get(baseDir)
+    if (!Files.exists(base)) Seq.empty
+    else {
+      val it = Files.list(base)
+      try it.iterator().asScala.toSeq
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("inc-"))
+        .sortBy(_.drop(4).toInt)
+        .map(n => s"$baseDir/$n")
+      finally it.close()
+    }
+  }
+
+  /** A full relation as of the latest increment: the base stage unioned
+    * with every increment's stage table (for the text-width stages, which
+    * are stored incrementally). */
+  def readAll(spark: SparkSession, baseDir: String, stage: String): DataFrame =
+    incDirs(baseDir).foldLeft(TableIO.read(spark, s"$baseDir/$stage"))(
+      (df, inc) => df.unionByName(TableIO.read(spark, s"$inc/$stage")))
+
+  /** The authoritative pair/cluster tables: the LATEST increment's (each
+    * increment writes the full union of these O(pairs)-sized relations). */
+  def latest(spark: SparkSession, baseDir: String, stage: String): DataFrame = {
+    val dirs = incDirs(baseDir)
+    val dir = if (dirs.isEmpty) s"$baseDir/$stage" else s"${dirs.last}/$stage"
+    TableIO.read(spark, dir)
+  }
+
+  def run(
+      spark: SparkSession,
+      newPages: DataFrame,
+      cfg: DedupConfig,
+      baseDir: String): IncReport = {
+    // the base run (plus any prior increments) must be complete
+    for (stage <- Seq("docs", "shingles", "signatures", "candidates", "verified_pairs"))
+      require(TableIO.readManifest(s"$baseDir/$stage").isDefined,
+        s"base run at $baseDir is missing stage '$stage' — run CheckpointedDedup first")
+
+    val priorInc = incDirs(baseDir)
+    val k = priorInc.size + 1
+    val dir = s"$baseDir/inc-$k"
+
+    val oldDocs = readAll(spark, baseDir, "docs") // (id, url, text)
+    val oldShingles = readAll(spark, baseDir, "shingles")
+    val oldSigs = readAll(spark, baseDir, "signatures")
+    val oldCand = latest(spark, baseDir, "candidates")
+    val oldVerified = latest(spark, baseDir, "verified_pairs")
+
+    def stage(name: String, salt: String)(compute: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val df = compute
+      TableIO.write(df, s"$dir/$name", name, incHash(name, salt),
+        (System.nanoTime() - t0) / 1000000L)
+      TableIO.read(spark, s"$dir/$name")
+    }
+
+    // input fingerprint of the increment (same derivation as the base run's)
+    val fp = newPages
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(expr("bit_xor(xxhash64(url, text))"), lit(0L)).as("x"))
+      .first()
+    val salt = s"inc$k:${fp.getLong(0)}:${fp.getLong(1)}"
+
+    // 1. fresh docs only (byte-identical-text-per-url contract: a re-crawled
+    // url is the SAME document — dropped here, like dropDuplicates within a
+    // batch), with ids unique AND disjoint from every existing id
+    val newDocsDf = stage("docs", salt) {
+      val fresh = newPages.dropDuplicates("url")
+        .join(oldDocs.select("url").hint("shuffle_hash"), Seq("url"), "left_anti")
+      DocIds.assignDisjoint(fresh, oldDocs.select("id"))
+        .select(col("id"), col("url"), col("text"))
+    }
+
+    // 2-3. text-width stages for NEW rows only — the whole point
+    val sh =
+      if (cfg.charShingles > 0)
+        graft.functions.GraftFunctions.charShingleHashesUdf(cfg.charShingles, cfg.seed)
+      else graft.functions.GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
+    val newShingles = stage("shingles", salt) {
+      newDocsDf.select(col("id"), sh(col("text")).as("shingles"))
+    }
+    val newSigs = stage("signatures", salt) {
+      val mh = graft.functions.GraftFunctions.minhashSigUdf(cfg.numHashes, cfg.seed)
+      newShingles.select(col("id"), mh(col("shingles")).as("sig"))
+    }
+
+    // 4. narrow union recompute: bands → census → candidates (identical code
+    // path to the from-scratch run, including the salted hot-bucket branch)
+    val unionSigs = oldSigs.unionByName(newSigs)
+    val bandsDf = Dedup.bands(unionSigs, cfg)
+    val census = Dedup.bucketCensus(bandsDf).cache()
+    val hot = census
+      .agg(count(when(col("bucket_size") > cfg.maxBucket, 1)).as("c")).first().getLong(0)
+    val baseCand = Dedup.candidatesFromCensus(bandsDf, census, cfg)
+    val unionCand =
+      if (cfg.saltWindow > 0 && hot > 0)
+        baseCand.union(Dedup.saltedHotPairs(bandsDf, census, unionSigs, cfg))
+          .dropDuplicates("id_a", "id_b")
+      else baseCand
+    val candOut = stage("candidates", salt)(unionCand)
+    census.unpersist(blocking = false)
+
+    // 5. verify ONLY unadjudicated pairs, with shingles drawn from the
+    // union (one side of a new pair may be an old doc — its shingles come
+    // from the base checkpoint, not from re-hashed text)
+    val toVerify = candOut.join(oldCand.hint("shuffle_hash"), Seq("id_a", "id_b"), "left_anti")
+    val unionShingles = oldShingles.unionByName(newShingles)
+    val unionDocsAll = oldDocs.unionByName(newDocsDf)
+    val newVerified = Dedup.withLcsColumn(
+      Dedup.verify(toVerify, unionShingles, cfg), unionDocsAll)
+    val verifiedOut = stage("verified_pairs", salt) {
+      oldVerified.unionByName(newVerified).dropDuplicates("id_a", "id_b")
+    }
+
+    // 6. clusters over every id + the union verified pairs
+    val clustersOut = stage("clusters", salt) {
+      ConnectedComponents.run(
+        unionDocsAll.select("id"), verifiedOut.select("id_a", "id_b"))
+    }
+
+    val nNew = TableIO.readManifest(s"$dir/docs").map(_.rows).getOrElse(0L)
+    val nVerified = TableIO.readManifest(s"$dir/verified_pairs").map(_.rows).getOrElse(0L)
+    // metrics row appended to the run history (same table the base run uses)
+    import spark.implicits._
+    Seq((s"inc-$k", nNew, nVerified, salt))
+      .toDF("stage", "new_docs", "verified_pairs", "salt")
+      .withColumn("recomputed", lit(true))
+      .write.mode("append").parquet(s"$baseDir/metrics_inc")
+    IncReport(clustersOut, verifiedOut, dir, nNew, nVerified)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{CheckpointedDedup, DedupConfig, IncrementalDedup}
+import graft.sources.TableIO
+import graft.testkit.PagesGen
+
+/** Incremental dedup must equal a from-scratch run over the union corpus —
+  * with planted duplicate pairs CROSSING the base/increment split (the even
+  * slots of each PagesGen cluster land in the base crawl, the odd slots in
+  * the increment, so pairs (0,1), (0,2), (1,2) all straddle the boundary) —
+  * while never rewriting or recomputing the base run's text-width stages. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val cfg = DedupConfig(seed = 42L)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("increment ≡ from-scratch union run; base stages untouched") {
+    val n = 240L
+    val all = PagesGen.pages(spark, n, seed = 0L, partitions = 8)
+    val base = all.where(col("id") % 2 === 0).drop("id")
+    val inc = all.where(col("id") % 2 === 1).drop("id")
+
+    val dirA = tmp("graft-inc-base")
+    val dirB = tmp("graft-inc-full")
+    CheckpointedDedup.run(spark, base, cfg, dirA)
+    val manifestsBefore = Seq("docs", "shingles", "signatures")
+      .map(s => s -> TableIO.readManifest(s"$dirA/$s").get.snapshotId).toMap
+
+    val rep = IncrementalDedup.run(spark, inc, cfg, dirA)
+    assert(rep.newDocs == n / 2)
+
+    // base text-width stages were reused, not rewritten (append-only)
+    manifestsBefore.foreach { case (s, snap) =>
+      assert(TableIO.readManifest(s"$dirA/$s").get.snapshotId == snap,
+        s"base stage '$s' was rewritten")
+    }
+    // the increment's text-width stages hold ONLY the new rows
+    assert(TableIO.readManifest(s"${rep.incDir}/shingles").get.rows == n / 2)
+
+    // from-scratch truth over the union
+    val full = CheckpointedDedup.run(spark, all.drop("id"), cfg, dirB)
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def clusters(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "cluster_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(pairs(rep.verifiedPairs) == pairs(full.verifiedPairs))
+    assert(clusters(rep.clusters) == clusters(full.clusters))
+    // and the crossing pairs really exist: every cluster in the union run
+    // merges docs from BOTH crawls (slots 0,2 even / 1 odd per block)
+    val byCluster = full.clusters.select("id", "cluster_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).groupBy(_._1).values
+    assert(byCluster.exists(_.size >= 2), "no multi-doc clusters — fixture broken")
+  }
+
+  test("readAll reconstructs the union; latest returns the newest pair tables") {
+    val n = 120L
+    val all = PagesGen.pages(spark, n, seed = 3L, partitions = 4)
+    val dir = tmp("graft-inc-read")
+    CheckpointedDedup.run(spark, all.where(col("id") < 60).drop("id"), cfg, dir)
+    IncrementalDedup.run(spark, all.where(col("id") >= 60).drop("id"), cfg, dir)
+    assert(IncrementalDedup.readAll(spark, dir, "docs").count() == n)
+    assert(IncrementalDedup.readAll(spark, dir, "signatures").count() == n)
+    // latest clusters cover every doc of the union
+    assert(IncrementalDedup.latest(spark, dir, "clusters").count() == n)
+  }
+
+  test("second increment stacks on the first") {
+    val n = 180L
+    val all = PagesGen.pages(spark, n, seed = 7L, partitions = 4)
+    val dir = tmp("graft-inc-stack")
+    CheckpointedDedup.run(spark, all.where(col("id") % 3 === 0).drop("id"), cfg, dir)
+    IncrementalDedup.run(spark, all.where(col("id") % 3 === 1).drop("id"), cfg, dir)
+    val rep2 = IncrementalDedup.run(spark, all.where(col("id") % 3 === 2).drop("id"), cfg, dir)
+    assert(rep2.incDir.endsWith("inc-2"))
+    val dirFull = tmp("graft-inc-stack-full")
+    val full = CheckpointedDedup.run(spark, all.drop("id"), cfg, dirFull)
+    val got = rep2.clusters.select("id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = full.clusters.select("id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("already-crawled urls in an increment are dropped, not re-ingested") {
+    val n = 80L
+    val all = PagesGen.pages(spark, n, seed = 11L, partitions = 4)
+    val dir = tmp("graft-inc-recrawl")
+    CheckpointedDedup.run(spark, all.where(col("id") < 40).drop("id"), cfg, dir)
+    // increment contains 20 genuinely new pages + 40 re-crawls of the base
+    val rep = IncrementalDedup.run(
+      spark, all.where(col("id") >= 20).drop("id"), cfg, dir)
+    assert(rep.newDocs == 40L) // ids 40..79 only
+    assert(IncrementalDedup.readAll(spark, dir, "docs").count() == n)
+  }
+}
