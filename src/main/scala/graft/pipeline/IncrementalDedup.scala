@@ -149,19 +149,42 @@ object IncrementalDedup {
       newShingles.select(col("id"), mh(col("shingles")).as("sig"))
     }
 
-    // 4. narrow union recompute: bands → census → candidates (identical code
-    // path to the from-scratch run, including the salted hot-bucket branch)
+    // 4. narrow union recompute: bands → census, then candidates involving
+    // ≥1 NEW doc only. Old-old candidate pairs are INVARIANT under an
+    // increment — banding is stateless per doc and buckets only grow, so a
+    // bucket in-cap at the base run already contributed its old-old pairs
+    // to the base candidates checkpoint (and a bucket over-cap then can
+    // never come back under). Joining the new docs' bands (small) against
+    // the union band table makes the pair join O(new · bucket) instead of
+    // the O(union · bucket) full self-join — the actual incremental shape.
     val unionSigs = oldSigs.unionByName(newSigs)
     val bandsDf = Dedup.bands(unionSigs, cfg)
+    val newBands = Dedup.bands(newSigs, cfg)
     val census = Dedup.bucketCensus(bandsDf).cache()
     val hot = census
       .agg(count(when(col("bucket_size") > cfg.maxBucket, 1)).as("c")).first().getLong(0)
-    val baseCand = Dedup.candidatesFromCensus(bandsDf, census, cfg)
+    val gate = census.where(col("bucket_size").between(2, cfg.maxBucket))
+      .select("band_hash")
+      .hint("shuffle_hash") // unbounded key set — never broadcast
+    val newInvolving = bandsDf.join(gate, "band_hash")
+      .select(col("band_hash"), col("id").as("id_o"))
+      .join(
+        newBands.join(gate, "band_hash").select(col("band_hash"), col("id").as("id_n"))
+          .hint("shuffle_hash"),
+        "band_hash")
+      .where(col("id_o") =!= col("id_n"))
+      .select(
+        least(col("id_o"), col("id_n")).as("id_a"),
+        greatest(col("id_o"), col("id_n")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val unionCand =
       if (cfg.saltWindow > 0 && hot > 0)
-        baseCand.union(Dedup.saltedHotPairs(bandsDf, census, unionSigs, cfg))
+        // hot buckets are rare and gated: the salted path still runs over
+        // the union (its window pairing is not decomposable per increment)
+        oldCand.unionByName(newInvolving)
+          .union(Dedup.saltedHotPairs(bandsDf, census, unionSigs, cfg))
           .dropDuplicates("id_a", "id_b")
-      else baseCand
+      else oldCand.unionByName(newInvolving).dropDuplicates("id_a", "id_b")
     val candOut = stage("candidates", salt)(unionCand)
     census.unpersist(blocking = false)
 
