@@ -87,6 +87,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("monotone pairs: a bucket crossing the census cap keeps its verified pairs") {
+    import spark.implicits._
+    // cap 4, no salting: 3 identical base docs fill every band bucket to
+    // size 3 (in-cap) → 3 verified pairs. The increment adds 3 more copies
+    // → bucket size 6 > cap → the gate drops the bucket, so the increment
+    // contributes NO new pairs; but the base's verified pairs must survive
+    // (verified knowledge is never un-learned), even though a from-scratch
+    // run over the union would drop everything (its buckets are born
+    // over-cap). This is the documented divergence — pinned here.
+    val capCfg = DedupConfig(seed = 42L, maxBucket = 4, saltWindow = 0)
+    val text = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    def crawl(ids: Range) = ids.map(i => (s"https://m.example/p$i", text)).toDF("url", "text")
+    val dir = tmp("graft-inc-cap")
+    val baseRep = CheckpointedDedup.run(spark, crawl(0 until 3), capCfg, dir)
+    val basePairs = baseRep.verifiedPairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(basePairs.size == 3) // C(3,2) — in-cap at base
+
+    val rep = IncrementalDedup.run(spark, crawl(3 until 6), capCfg, dir)
+    val incPairs = rep.verifiedPairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incPairs == basePairs, "cap crossing must not drop verified pairs, nor add any")
+
+    // the from-scratch union run genuinely diverges (born over-cap → empty)
+    val full = CheckpointedDedup.run(spark, crawl(0 until 6), capCfg, tmp("graft-inc-cap-full"))
+    assert(full.verifiedPairs.count() == 0)
+  }
+
   test("already-crawled urls in an increment are dropped, not re-ingested") {
     val n = 80L
     val all = PagesGen.pages(spark, n, seed = 11L, partitions = 4)
