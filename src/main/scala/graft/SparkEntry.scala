@@ -77,8 +77,11 @@ object SparkEntry {
     val es = Seq("el", "los", "las", "y", "es", "una", "por", "con", "para", "como")
   }
 
-  /** BPE-ish pre-tokenizer pattern — portable between Java regex and RE2. */
-  private[graft] val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  /** BPE-ish pre-tokenizer pattern — portable between Java regex and RE2.
+    * Whitespace is an EXPLICIT class, not \s: Java's \s includes \x0B
+    * (vertical tab) while RE2's does not, so \s would fork the two engines'
+    * tokenizations on that one character. */
+  private[graft] val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -494,11 +497,16 @@ object SparkEntry {
            |FROM sc ORDER BY doc_id""".stripMargin
       },
       "q_bpe_tokens" ->
-        raw"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks FROM documents)
+        // the coalesce is gated on toks IS NOT NULL so a null-text doc stays
+        // NULL on both engines (Spark's aggregate over a null array is NULL;
+        // an unconditional coalesce would turn DuckDB's NULL into 0 and fork
+        // the gate); an EMPTY token list is 0 on both (Spark aggregate init
+        // vs coalesced list_sum)
+        raw"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]') AS toks FROM documents)
            |SELECT doc_id,
            |  CAST(len(toks) AS BIGINT) AS n_subtokens,
            |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_subtokens,
-           |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_subtoken_chars
+           |  CAST(CASE WHEN toks IS NULL THEN NULL ELSE coalesce(list_sum(list_transform(toks, x -> length(x))), 0) END AS BIGINT) AS n_subtoken_chars
            |FROM t ORDER BY doc_id""".stripMargin,
       "q_ngram_jaccard_pairs" ->
         s"""WITH $pairCtes

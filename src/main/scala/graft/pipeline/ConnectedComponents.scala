@@ -84,6 +84,13 @@ object ConnectedComponents {
       // instead of checkpoint-job + probe-job. The count is exact, not a
       // limit(1) probe: a partial action would checkpoint only the
       // partitions it touched and silently recompute the rest later.
+      // blocks that may only be released AFTER the convergence count has
+      // materialized `next` — `next` is a LAZY checkpoint, so anything it
+      // reads (the jump branch's steppedCk) must stay persisted until then;
+      // releasing before the count throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+      // whenever a steppedCk scan lands in the count's final stage
+      // (reproduced in isolation on Spark 4.1.2)
+      var releaseAfterCount: Seq[Int] = Nil
       val (next, nextIds) =
         if (iter < jumpFromRound) {
           checkpointTracked(stepped.withColumnRenamed("mid", "cluster_id"), eager = false)
@@ -110,12 +117,13 @@ object ConnectedComponents {
                 col("old"),
                 least(col("mid"), coalesce(col("pmid"), col("mid"))).as("cluster_id")),
             eager = false)
-          release(stepIds)
+          releaseAfterCount = stepIds
           res
         }
       val changed = next
         .agg(count(when(col("cluster_id") =!= col("old"), 1)).as("c"))
         .first().getLong(0)
+      release(releaseAfterCount)
       converged = changed == 0
       iter += 1
       release(labelIds)

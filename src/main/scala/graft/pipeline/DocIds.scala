@@ -90,8 +90,12 @@ object DocIds {
       pages: DataFrame,
       existingIds: DataFrame,
       maxRounds: Int = 5): DataFrame = {
+    val sc = pages.sparkSession.sparkContext
     val ex = existingIds.select(col("id"))
     var df = pages.dropDuplicates("url").withColumn("id", primaryHash(col("url")))
+    // release superseded localCheckpoint blocks per round — same discipline
+    // as assign(); pinned-but-dead blocks are an OOM contributor here
+    var prevIds: Seq[Int] = Nil
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -100,6 +104,7 @@ object DocIds {
       val colliding = intra.union(cross).distinct()
       if (colliding.isEmpty) done = true
       else {
+        val before = sc.getPersistentRDDs.keySet
         df = df
           .join(colliding.withColumn("collides", lit(true)).hint("shuffle_hash"),
             Seq("id"), "left")
@@ -107,6 +112,10 @@ object DocIds {
             when(col("collides"), rehash(col("id"), col("url"))).otherwise(col("id")))
           .drop("collides")
           .localCheckpoint(true)
+        val added = sc.getPersistentRDDs.keysIterator.filterNot(before).toSeq
+        val reg = sc.getPersistentRDDs
+        prevIds.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+        prevIds = added
         round += 1
       }
     }

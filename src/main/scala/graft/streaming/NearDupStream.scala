@@ -74,24 +74,28 @@ object NearDupStream {
     * directly unit-testable (via `TestGroupState`) — a livelocking
     * end-to-end test is not a substitute for testing `hasTimedOut`.
     *
-    * @param rows     (doc_id, fp) arrivals for this bucket
-    * @param onUpdate invoked after `state.update` — the timeout-arming hook
-    *                 (sets a processing-time duration, an event-time
-    *                 timestamp, or nothing)
+    * @param rows     (doc_id, fp, eventTimeMs) arrivals for this bucket
+    *                 (eventTimeMs = 0 for paths without event time)
+    * @param onUpdate invoked after `state.update` with the MAX event time
+    *                 seen this batch — the timeout-arming hook (sets a
+    *                 processing-time duration, an event-time timestamp
+    *                 derived from the arrivals, or nothing)
     */
   private[graft] def updateBucket(
       maxHamming: Int,
       maxMembers: Int,
-      rows: Iterator[(Long, Long)],
+      rows: Iterator[(Long, Long, Long)],
       state: GroupState[BucketState],
-      onUpdate: GroupState[BucketState] => Unit): Iterator[DupPair] = {
+      onUpdate: (GroupState[BucketState], Long) => Unit): Iterator[DupPair] = {
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
       var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+      var maxTs = 0L
       val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
-      rows.foreach { case (docId, fp) =>
+      rows.foreach { case (docId, fp, ts) =>
+        if (ts > maxTs) maxTs = ts
         var ids = st.ids
         var fps = st.fps
         while (ids.nonEmpty) {
@@ -106,7 +110,7 @@ object NearDupStream {
           else st.copy(dropped = st.dropped + 1) // capped: disclose, don't grow
       }
       state.update(st)
-      onUpdate(state)
+      onUpdate(state, maxTs)
       out.iterator
     }
   }
@@ -135,14 +139,14 @@ object NearDupStream {
       .groupByKey(r => ChunkKey(r.chunk_idx, r.chunk))
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (_: ChunkKey, rows: Iterator[DocChunk], state: GroupState[BucketState]) =>
-          updateBucket(maxHamming, maxMembers, rows.map(r => (r.doc_id, r.fp)), state,
-            st => stateTtl.foreach(st.setTimeoutDuration))
+          updateBucket(maxHamming, maxMembers, rows.map(r => (r.doc_id, r.fp, 0L)), state,
+            (st, _) => stateTtl.foreach(st.setTimeoutDuration))
       }
   }
 
   /** Event-time retention variant (STREAMING ONLY — it reads the watermark):
     * `docs(doc_id, text, event_time)` → pairs, where a bucket expires once
-    * the watermark passes its last arrival's batch-watermark + retention.
+    * the watermark passes its last arrival's EVENT TIME + retention.
     * Docs arriving after a bucket expired can no longer pair with its
     * pre-expiry members — the disclosed retention/recall tradeoff, now
     * bounded in DATA time: an unbounded stream holds O(docs-per-retention-
@@ -172,11 +176,17 @@ object NearDupStream {
       .groupByKey(r => ChunkKey(r.chunk_idx, r.chunk))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (_: ChunkKey, rows: Iterator[DocChunkT], state: GroupState[BucketState]) =>
-          updateBucket(maxHamming, maxMembers, rows.map(r => (r.doc_id, r.fp)), state,
-            // deadline re-arms on every arrival: watermark-now + retention.
-            // setTimeoutTimestamp requires a value beyond the current
-            // watermark — watermark + retention always is (retention > 0).
-            st => st.setTimeoutTimestamp(st.getCurrentWatermarkMs() + retentionMs))
+          updateBucket(maxHamming, maxMembers,
+            rows.map(r => (r.doc_id, r.fp, r.event_time.getTime)), state,
+            // deadline = last arrival's EVENT time + retention — retention
+            // is measured in DATA time, exactly as documented (arming from
+            // the watermark instead would expire a bucket retention-early
+            // whenever the watermark lags the data, silently missing pairs
+            // within the retention window). setTimeoutTimestamp must exceed
+            // the current watermark, so a straggler whose deadline already
+            // passed is clamped one tick past it (it expires next batch).
+            (st, maxTs) => st.setTimeoutTimestamp(
+              math.max(maxTs + retentionMs, st.getCurrentWatermarkMs() + 1)))
       }
   }
 }

@@ -71,7 +71,7 @@ class NearDupStreamSpec extends AnyFunSuite {
       batchProcessingTimeMs = 1000L,
       eventTimeWatermarkMs = Optional.empty[Long],
       hasTimedOut = true)
-    val out = NearDupStream.updateBucket(6, 10, Iterator.empty, state, _ => ()).toList
+    val out = NearDupStream.updateBucket(6, 10, Iterator.empty, state, (_, _) => ()).toList
     assert(out.isEmpty)
     assert(state.isRemoved)
   }
@@ -84,12 +84,43 @@ class NearDupStreamSpec extends AnyFunSuite {
       eventTimeWatermarkMs = Optional.empty[Long],
       hasTimedOut = false)
     val out = NearDupStream
-      .updateBucket(6, 10, Iterator((2L, 3L)), state, _.setTimeoutDuration("1 hour"))
+      .updateBucket(6, 10, Iterator((2L, 3L, 0L)), state,
+        (st, _) => st.setTimeoutDuration("1 hour"))
       .toList
     assert(out == List(DupPair(1L, 2L, 2))) // bitCount(0^3) = 2 ≤ 6
     assert(state.get.ids.toSet == Set(1L, 2L))
     // the arming hook ran after update: deadline = batch time + 1h
     assert(state.getTimeoutTimestampMs.get() == 5000L + 3600L * 1000L)
+  }
+
+  test("event-time arming: deadline = max arrival EVENT time + retention, not watermark") {
+    // the regression this pins: arming from getCurrentWatermarkMs() +
+    // retention measures retention from the (lagging) watermark — a bucket
+    // whose docs are far ahead of the watermark would expire retention-early
+    // and silently miss pairs still inside the data-time window
+    val retentionMs = 60000L
+    val state = TestGroupState.create[BucketState](
+      Optional.empty[BucketState],
+      GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(1000L), // watermark far behind the data
+      hasTimedOut = false)
+    NearDupStream.updateBucket(6, 10, Iterator((1L, 0L, 1000000L)), state,
+      (st, maxTs) => st.setTimeoutTimestamp(
+        math.max(maxTs + retentionMs, st.getCurrentWatermarkMs() + 1))).toList
+    assert(state.getTimeoutTimestampMs.get() == 1000000L + retentionMs)
+    // straggler whose data-time deadline already passed the watermark is
+    // clamped one tick past it (expires next batch, never throws)
+    val late = TestGroupState.create[BucketState](
+      Optional.empty[BucketState],
+      GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(5000000L),
+      hasTimedOut = false)
+    NearDupStream.updateBucket(6, 10, Iterator((2L, 0L, 1000000L)), late,
+      (st, maxTs) => st.setTimeoutTimestamp(
+        math.max(maxTs + retentionMs, st.getCurrentWatermarkMs() + 1))).toList
+    assert(late.getTimeoutTimestampMs.get() == 5000001L)
   }
 
   test("event-time retention: expired buckets stop pairing, fresh ones still do") {
