@@ -88,7 +88,11 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** documents with the pipeline's (id, text) contract. */
+  /** documents with the pipeline's (id, text) contract. (NOT repartitioned:
+    * at sf0.1 the repartition exchange + 32-task churn measured SLOWER than
+    * the single-task signature fill it parallelizes — the CLAUDE.md "~3 s of
+    * compute per exchange" threshold; multi-file production inputs
+    * parallelize at the scan.) */
   private def docsAsCorpus(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id").as("id"), col("text"))
 

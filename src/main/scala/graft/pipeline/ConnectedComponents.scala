@@ -34,6 +34,16 @@ object ConnectedComponents {
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sc = vertices.sparkSession.sparkContext
+    // -Dgraft.cc.verbose=true → per-phase wall times on stdout (diagnostics)
+    val verbose = java.lang.Boolean.getBoolean("graft.cc.verbose")
+    def timed[T](name: String)(f: => T): T =
+      if (!verbose) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[cc] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
 
     // localCheckpoint persists an internal RDD that outlives the returned
     // DataFrame; without explicit release every CC run leaks blocks into the
@@ -51,13 +61,20 @@ object ConnectedComponents {
     }
 
     // Symmetrize once; propagation then only needs one direction per round.
-    val (sym, symIds) = checkpointTracked(
+    // ONE scan of the edge plan via explode — the union form
+    // (edges.select(a,b) ∪ edges.select(b,a)) scans `edges` twice, and the
+    // caller's edge relation is typically the UNCACHED candidates+verify
+    // plan, so the union form recomputed the whole verify stage twice
+    // inside this job (measured ~1 s of q_dedup_clusters' warm 4.3 s).
+    val (sym, symIds) = timed("symmetrize (materializes edge plan)")(checkpointTracked(
       edges
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
+        .select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))))
 
-    var (labels, labelIds) = checkpointTracked(
-      vertices.select(col("id"), col("id").as("cluster_id")))
+    var (labels, labelIds) = timed("init labels")(checkpointTracked(
+      vertices.select(col("id"), col("id").as("cluster_id"))))
     // Pointer jumping is engaged only after the plain rounds stop being
     // enough: near-dup components are almost always shallow (diameter ≤ 2-3
     // via the min-id hub), where the jump join is pure overhead — measured
@@ -79,51 +96,39 @@ object ConnectedComponents {
           col("id"),
           col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("mid"))
+      // step 2 (pointer jumping): label(v) ← label_{t-1}(label_t(v)). The
+      // lookup side is the PREVIOUS round's `labels` — already materialized
+      // by last round's convergence count, so the round needs no extra
+      // eager checkpoint job (round 3's shape checkpointed `stepped` eagerly
+      // and cost every jump round a second job — measured ~25% of
+      // q_dedup_clusters' wall). Correctness: mid(v) is a vertex id in v's
+      // component, and labels_{t-1}(mid) is that vertex's component-member
+      // label with labels_{t-1}(mid) ≤ mid, so least() preserves the
+      // invariant; reach still doubles (mid covers reach_{t-1}+1 hops from
+      // v, the prev-label lookup covers reach_{t-1} more). The join key is
+      // hot for giant components but each left row matches ≤1 right row —
+      // no blow-up; AQE skew splitting is the backstop.
+      val jumped =
+        if (iter < jumpFromRound) stepped.withColumnRenamed("mid", "cluster_id")
+        else
+          stepped
+            .join(
+              labels.select(col("id").as("pid"), col("cluster_id").as("pl")),
+              col("mid") === col("pid"),
+              "left")
+            .select(
+              col("id"),
+              col("old"),
+              least(col("mid"), coalesce(col("pl"), col("mid"))).as("cluster_id"))
       // the round's label relation is checkpointed LAZILY and materialized
-      // by the (full-scan) convergence count below — one job per round
-      // instead of checkpoint-job + probe-job. The count is exact, not a
-      // limit(1) probe: a partial action would checkpoint only the
-      // partitions it touched and silently recompute the rest later.
-      // blocks that may only be released AFTER the convergence count has
-      // materialized `next` — `next` is a LAZY checkpoint, so anything it
-      // reads (the jump branch's steppedCk) must stay persisted until then;
-      // releasing before the count throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
-      // whenever a steppedCk scan lands in the count's final stage
-      // (reproduced in isolation on Spark 4.1.2)
-      var releaseAfterCount: Seq[Int] = Nil
-      val (next, nextIds) =
-        if (iter < jumpFromRound) {
-          checkpointTracked(stepped.withColumnRenamed("mid", "cluster_id"), eager = false)
-        } else {
-          // step 2 (pointer jumping): label(v) ← label(label(v)). Labels are
-          // always vertex ids (mins over ids), so the lookup side is
-          // `stepped` itself — CHECKPOINTED FIRST so the neighbor-min plan
-          // runs once, not once per join side. Labels only decrease, so
-          // pmid ≤ mid and least() is exact. The join key is hot for giant
-          // components but each left row matches exactly one right row —
-          // no blow-up; AQE skew splitting is the backstop.
-          // steppedCk stays EAGER: both join sides read it, and a lazy
-          // checkpoint first materialized by a two-scan job can race its
-          // own cache fill (duplicate compute)
-          val (steppedCk, stepIds) = checkpointTracked(stepped)
-          val res = checkpointTracked(
-            steppedCk
-              .join(
-                steppedCk.select(col("id").as("pid"), col("mid").as("pmid")),
-                col("mid") === col("pid"),
-                "left")
-              .select(
-                col("id"),
-                col("old"),
-                least(col("mid"), coalesce(col("pmid"), col("mid"))).as("cluster_id")),
-            eager = false)
-          releaseAfterCount = stepIds
-          res
-        }
-      val changed = next
+      // by the (full-scan) convergence count below — ONE job per round
+      // total. The count is exact, not a limit(1) probe: a partial action
+      // would checkpoint only the partitions it touched and silently
+      // recompute the rest later.
+      val (next, nextIds) = checkpointTracked(jumped, eager = false)
+      val changed = timed(s"round $iter (jump=${iter >= jumpFromRound})")(next
         .agg(count(when(col("cluster_id") =!= col("old"), 1)).as("c"))
-        .first().getLong(0)
-      release(releaseAfterCount)
+        .first().getLong(0))
       converged = changed == 0
       iter += 1
       release(labelIds)
