@@ -158,9 +158,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ dedup / text analytics
     "q_exact_dedup" -> ((s, dir) => {
-      val w = Window.partitionBy(md5(col("text")))
-      docs(s, dir)
-        .select(col("doc_id"), min(col("doc_id")).over(w).as("keep_id"))
+      // groupBy + join back, NOT min().over(Window.partitionBy(md5(text))):
+      // the window form shuffles ALL copies of a text onto one window
+      // partition — at web scale a boilerplate page with 10⁷ copies is a
+      // single-task hot key, and exact-dup groups are exactly where
+      // duplication concentrates. groupBy gets map-side partial aggregation
+      // (every task bounded), and the join back is by the same hash key.
+      // Null-safe equality (<=>): md5(NULL) is NULL and an equi-join would
+      // silently drop null-text docs (none in testdata, plenty at scale).
+      // The agg side has one row per DISTINCT text — unbounded key set, so
+      // it is hint-proofed against broadcast flips like every corpus-sized
+      // join side (shuffle_hash, policy in docs/PLANS.md).
+      val h = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val m = h.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+        .withColumnRenamed("h", "hm").hint("shuffle_hash")
+      h.join(m, col("h") <=> col("hm"))
+        .select(col("doc_id"), col("keep_id"))
         .orderBy("doc_id")
     }),
     "q_fingerprint" -> ((s, dir) =>
@@ -298,7 +311,7 @@ object SparkEntry {
     "q_embedding_topk" -> ((s, dir) => {
       graft.functions.GraftExpressions.register(s)
       val q = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), GraftFunctions.quantize(col("embedding")).as("v"))
+        .select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
       val probes = q.where(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
       val scored = broadcast(probes).join(q, col("vec_id") =!= col("probe_id"))
@@ -325,7 +338,7 @@ object SparkEntry {
       graft.functions.GraftExpressions.register(s)
       val emb = tbl(s, dir, "embeddings")
       val b = Planes.bitsForCorpus(emb.count(), Planes.AnnTargetBucket)
-      val e = emb.select(col("vec_id"), GraftFunctions.quantize(col("embedding")).as("v"))
+      val e = emb.select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
       // per-table packed sign bits via the native codegen kernel (one fused
       // loop per table over planes [t·b, (t+1)·b) — no 64-bit packing cap,
       // so the same code carries ≥20-bit buckets at web scale)
@@ -373,9 +386,10 @@ object SparkEntry {
       // a big corpus comes from SignAlshRetrieval.planFor, whose multi-table
       // path is exercised by MipsMultiTableSpec (the oracle needs ONE fixed
       // shape, and tables > 1 only engages beyond ~2^12·32 vectors).
+      graft.functions.GraftExpressions.register(s)
       val emb = tbl(s, dir, "embeddings")
       val qb = math.min(12, Planes.bitsForCorpus(emb.count(), Planes.AnnTargetBucket))
-      val e = emb.select(col("vec_id"), GraftFunctions.quantize(col("embedding")).as("v"))
+      val e = emb.select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
       SignAlshRetrieval
         .topK(e, SignAlshRetrieval.MipsPlan(1, 16, qb), col("vec_id") < 5, 10)
         .orderBy("probe_id", "rnk")
@@ -386,10 +400,14 @@ object SparkEntry {
       // dot + one IEEE floor, bitwise-reproducible in DuckDB. Scalar rows:
       // (vec_id, lane, lp_bucket) — round 1 emitted a raw array column that
       // crashed the harness row-sorter.
+      graft.functions.GraftExpressions.register(s)
       val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), GraftFunctions.quantize(col("embedding")).as("v"))
+        .select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
       val buckets = array((0 until Planes.LpLanes).map { j =>
-        floor((CrossEngine.dotConst(col("v"), Planes.lpCoeff(j)) + lit(Planes.lpShift(j)))
+        // graft_dot against the foldable coefficient literal — the
+        // dotConst HOF tree runs interpreted per corpus row (same values)
+        floor((call_function("graft_dot", col("v"), typedLit(Planes.lpCoeff(j).toSeq))
+          + lit(Planes.lpShift(j)))
           .cast("double") / lit(Planes.LpW.toDouble)).cast("long")
       }: _*)
       e.select(col("vec_id"), posexplode(buckets).as(Seq("lane", "lp_bucket")))
@@ -466,7 +484,10 @@ object SparkEntry {
       "q AS (SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings)"
     Map(
       "q_exact_dedup" ->
-        "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents ORDER BY doc_id",
+        """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |m AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
+          |SELECT doc_id, keep_id FROM h JOIN m ON h.h IS NOT DISTINCT FROM m.h
+          |ORDER BY doc_id""".stripMargin,
       "q_fingerprint" ->
         raw"SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
       "q_token_stats" ->

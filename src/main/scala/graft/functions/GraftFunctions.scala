@@ -118,7 +118,13 @@ object GraftFunctions extends Serializable {
 
   /** Exact int64 dot product of quantized embeddings via built-ins only:
     * order-independent (integer adds), hence bit-reproducible across engines
-    * and cluster sizes — floats summed in shuffle order are not. */
+    * and cluster sizes — floats summed in shuffle order are not.
+    *
+    * These built-in trees are REFERENCE forms only: Spark evaluates
+    * higher-order functions interpreted (one boxed lambda call per element),
+    * a plain CPU multiplier in corpus-wide prep at 100 TB. Queries use the
+    * fused codegen kernels graft_quantize / graft_dot instead;
+    * CrossEngineSpec pins kernel ≡ tree bitwise. */
   def quantize(col: Column, q: Int = 1000): Column =
     transform(col, e => round(e.cast("double") * q).cast("long"))
 

@@ -144,5 +144,20 @@ object GraftExpressions {
       "graft_simhash56",
       exprs => SimHash56Expr(exprs(0)),
       "built-in")
+    // 1-arg form = the engine-wide 1e3 embedding quantum
+    registry.createOrReplaceTempFunction(
+      "graft_quantize",
+      exprs =>
+        if (exprs.length == 2) QuantizeExpr(exprs(0), lit2Long(exprs(1)))
+        else QuantizeExpr(exprs(0), 1000L),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotLongExpr(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hamming_sum",
+      exprs => HammingSumExpr(exprs(0), exprs(1)),
+      "built-in")
   }
 }

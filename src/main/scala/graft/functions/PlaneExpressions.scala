@@ -73,6 +73,72 @@ object PlaneKernel {
 
   def dots(v: ArrayData, tag: String, n: Int): ArrayData = dots(v, tag, 0, n)
 
+  /** Quantize a float/double array to int64: element-wise
+    * round(e.toDouble * q).toLong with EXACTLY Spark's Round-then-Cast
+    * semantics (BigDecimal.valueOf + HALF_UP — what the built-in
+    * `transform(v, e => round(e.cast("double")*q).cast("long"))` tree
+    * computes, element nulls propagated the same way), so swapping the
+    * interpreted HOF for this kernel cannot move a single output bit.
+    * CrossEngineSpec pins the equality against the built-in tree. */
+  def quantize(v: ArrayData, isFloat: Boolean, q: Long): Any = {
+    val n = v.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = v.isNullAt(i); i += 1 }
+    def one(i: Int): Long = {
+      val d = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * q
+      // ANSI-faithful: the reference tree's cast THROWS on NaN/±Inf/overflow
+      // under Spark 4's default ansi.enabled — a garbage embedding must fail
+      // loudly here too, not wrap to Long.MinValue
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d) ||
+          d >= 9.223372036854776e18 || d <= -9.223372036854776e18)
+        throw new ArithmeticException(
+          s"graft_quantize: non-finite or long-overflowing value $d at index $i")
+      java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) { out(i) = one(i); i += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) { out(i) = if (v.isNullAt(i)) null else one(i); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Exact int64 dot product — the codegen replacement for the interpreted
+    * aggregate(zip_with(...)) tree in per-row corpus prep (norms, P/Q
+    * transforms). Arrays must be equal-length with no null elements (always
+    * true for quantized embeddings); violations THROW at the first row
+    * rather than silently yielding the HOF tree's null. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: length mismatch ${n} vs ${b.numElements()}")
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
+  /** Σ popcount(a[i] ^ b[i]) over two packed-bits arrays — multi-table
+    * hamming ranking in one fused loop. */
+  def hammingSum(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_hamming_sum: length mismatch ${n} vs ${b.numElements()}")
+    var h = 0L
+    var i = 0
+    while (i < n) { h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    h
+  }
+
   /** Exact quantized cosine: identical IEEE sequence to the built-in tree
     * cast(dot)/(sqrt(cast(na))*sqrt(cast(nb))) — bitwise-equal output. */
   def cosq(a: ArrayData, b: ArrayData): Double = {
@@ -200,6 +266,72 @@ case class SimHash56Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash56Expr =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash56"
+}
+
+/** graft_quantize(v[, q]): float/double array → int64 array, element-wise
+  * round(e*q) with Spark's exact Round/Cast semantics (q defaults to 1000,
+  * the engine-wide embedding quantum). Codegen replacement for the
+  * interpreted transform() in GraftFunctions.quantize — that built-in tree
+  * stays as the pinned reference form. */
+case class QuantizeExpr(child: Expression, q: Long) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def nullSafeEval(input: Any): Any =
+    PlaneKernel.quantize(input.asInstanceOf[ArrayData], isFloat, q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s"graft.functions.PlaneKernel.quantize($c, $isFloat, ${q}L)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_quantize"
+}
+
+/** graft_dot(a, b): exact int64 dot product, one fused loop (equal-length,
+  * null-free arrays — throws otherwise). */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression with LongArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = arrayInputCheck(left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else arrayInputCheck(right.dataType)
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PlaneKernel.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PlaneKernel.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot"
+}
+
+/** graft_hamming_sum(a, b): Σ popcount(a[i] ^ b[i]) — multi-table hamming
+  * ranking over per-table packed sign bits. */
+case class HammingSumExpr(left: Expression, right: Expression)
+    extends BinaryExpression with LongArrayInput {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = arrayInputCheck(left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else arrayInputCheck(right.dataType)
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PlaneKernel.hammingSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PlaneKernel.hammingSum($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingSumExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_hamming_sum"
 }
 
 /** graft_cosq(a, b): exact quantized-int cosine, one fused loop. */

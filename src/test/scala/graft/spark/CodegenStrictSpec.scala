@@ -138,6 +138,74 @@ class CodegenStrictSpec extends AnyFunSuite {
     assert(got == CrossEngine.simhash56(UTF8String.fromString(text)))
   }
 
+  test("graft_quantize compiles strictly and matches Spark's round/cast tree bitwise") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    // adversarial FINITE values: exact .5 boundaries both signs, tiny, big
+    // (NaN/±Inf/overflow throw on BOTH paths under ANSI — asserted below)
+    val floats = Array(0.0015f, -0.0015f, 0.0004999f, -1.9999f, 123.456f,
+      -987.654f, 0f, 1e12f, -1e12f,
+      0.9995f, -0.9995f, 3.3333f, 0.0025f)
+    val df = Seq(Tuple1(floats)).toDF("v")
+    val (kq, tq) = strictCodegen {
+      val r = df.select(
+        call_function("graft_quantize", col("v")).as("k"),
+        graft.functions.GraftFunctions.quantize(col("v")).as("t"))
+        .collect().head
+      (r.getSeq[Long](0), r.getSeq[Long](1))
+    }
+    assert(kq == tq) // kernel ≡ transform(round(cast)*q).cast tree, bitwise
+    // double input path too
+    val doubles = floats.map(_.toDouble)
+    val dfd = Seq(Tuple1(doubles)).toDF("v")
+    val (kq2, tq2) = strictCodegen {
+      val r = dfd.select(
+        call_function("graft_quantize", col("v"), lit(1000L)).as("k"),
+        graft.functions.GraftFunctions.quantize(col("v")).as("t"))
+        .collect().head
+      (r.getSeq[Long](0), r.getSeq[Long](1))
+    }
+    assert(kq2 == tq2)
+    // non-finite input: ANSI casts throw on the tree; the kernel must too
+    Seq(Float.NaN, Float.PositiveInfinity, 1e30f).foreach { bad =>
+      val e = intercept[Exception] {
+        Seq(Tuple1(Array(bad))).toDF("v")
+          .select(call_function("graft_quantize", col("v"))).collect()
+      }
+      assert(e.toString.contains("graft_quantize") ||
+        e.getCause != null && e.getCause.toString.contains("graft_quantize"))
+    }
+  }
+
+  test("graft_dot compiles strictly and matches the zip_with/aggregate tree") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val (k, t) = strictCodegen {
+      val r = Seq((vecA, vecB)).toDF("a", "b").select(
+        call_function("graft_dot", col("a"), col("b")).as("k"),
+        graft.functions.GraftFunctions.dotLong(col("a"), col("b")).as("t"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(k == t)
+    assert(k == PlaneKernel.dotLong(arr(vecA), arr(vecB)))
+  }
+
+  test("graft_hamming_sum compiles strictly and matches per-table bit_count sum") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val ba = Array.fill(4)(rnd.nextLong())
+    val bb = Array.fill(4)(rnd.nextLong())
+    val got = strictCodegen {
+      Seq((ba, bb)).toDF("a", "b")
+        .select(call_function("graft_hamming_sum", col("a"), col("b")))
+        .collect().head.getLong(0)
+    }
+    val want = (0 until 4).map(i => java.lang.Long.bitCount(ba(i) ^ bb(i)).toLong).sum
+    assert(got == want)
+    assert(got == PlaneKernel.hammingSum(arr(ba), arr(bb)))
+  }
+
   test("md5-minhash lane count above MaxLanes fails at PLAN time, not per-row") {
     import spark.implicits._
     graft.functions.GraftExpressions.register(spark)

@@ -52,6 +52,26 @@ class MipsMultiTableSpec extends AnyFunSuite {
     assert(multi.size > single.size, "extra tables produced no extra candidates")
   }
 
+  test("multi-table plan scans the corpus ONCE, not once per table") {
+    // round-3 shape built one broadcast-join branch per table over an
+    // uncached base → tables>1 re-scanned + re-hashed the corpus per table
+    // (143 passes at planFor(10⁹)); the single-pass shape must keep the
+    // number of parquet scan branches CONSTANT in T (VERDICT r3 #2)
+    def scanCount(tables: Int): Int = {
+      spark.catalog.clearCache() // stale cached bits relations skew the count
+      val plan = SignAlshRetrieval
+        .topK(e, MipsPlan(tables, 16, 6), col("vec_id") < 5, 10)
+        .queryExecution.executedPlan.toString
+      "FileScan parquet".r.findAllIn(plan).length
+    }
+    val t1 = scanCount(1)
+    val t4 = scanCount(4)
+    val t8 = scanCount(8)
+    spark.catalog.clearCache()
+    assert(t4 == t1 && t8 == t1,
+      s"parquet scan branches grew with tables: T=1→$t1, T=4→$t4, T=8→$t8")
+  }
+
   test("multi-table top-k is deterministic and candidate recall ≥ single-table") {
     val probe = col("vec_id") < 5
     // ground truth: exact top-10 by quantized cosine (brute force, 500 vecs)
