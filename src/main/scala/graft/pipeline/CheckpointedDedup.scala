@@ -29,8 +29,27 @@ object CheckpointedDedup {
     def recomputedStages: Seq[String] = stages.filter(_.recomputed).map(_.name)
   }
 
-  private def chainHash(prev: String, stage: String, salt: String): String =
+  private[pipeline] def chainHash(prev: String, stage: String, salt: String): String =
     java.lang.Long.toHexString(Rng.hashString(0x434B5054L, s"$prev|$stage|$salt"))
+
+  /** The per-stage chained config hashes downstream of the docs stage.
+    * Shared with [[IncrementalDedup]], which recomputes them from the base
+    * run's docs manifest hash to prove the supplied cfg IS the base run's
+    * config — an increment run with a different seed/numHashes/bands would
+    * otherwise silently union signatures from different hash families and
+    * miss every cross-split near-dup (ADVICE r3). */
+  private[pipeline] def chainFrom(h0: String, cfg: DedupConfig): Seq[(String, String)] = {
+    val h1 = chainHash(h0, "shingles", s"${cfg.shingleWords}:${cfg.charShingles}:${cfg.seed}")
+    val h2 = chainHash(h1, "signatures", s"${cfg.numHashes}:${cfg.seed}")
+    // saltWindow is in the candidates salt because the stage READS it (gates
+    // salted hot-pair generation) — without it a saltWindow change would
+    // resume from a stale candidates checkpoint and corrupt downstream pairs
+    val h3 = chainHash(h2, "candidates", s"${cfg.bands}:${cfg.maxBucket}:${cfg.saltWindow}")
+    val h4 = chainHash(h3, "verified_pairs", s"${cfg.threshold}")
+    val h5 = chainHash(h4, "clusters", "cc")
+    Seq("shingles" -> h1, "signatures" -> h2, "candidates" -> h3,
+      "verified_pairs" -> h4, "clusters" -> h5)
+  }
 
   /** Run (or resume) the pipeline.
     *
@@ -85,7 +104,8 @@ object CheckpointedDedup {
       DocIds.assign(pages).select(col("id"), col("url"), col("text"))
     }
 
-    val h1 = chainHash(h0, "shingles", s"${cfg.shingleWords}:${cfg.charShingles}:${cfg.seed}")
+    val chain = chainFrom(h0, cfg).toMap
+    val h1 = chain("shingles")
     val shinglesStage = stage("shingles", h1) {
       val sh =
         if (cfg.charShingles > 0) GraftFunctions.charShingleHashesUdf(cfg.charShingles, cfg.seed)
@@ -93,16 +113,13 @@ object CheckpointedDedup {
       docsStage.df.select(col("id"), sh(col("text")).as("shingles"))
     }
 
-    val h2 = chainHash(h1, "signatures", s"${cfg.numHashes}:${cfg.seed}")
+    val h2 = chain("signatures")
     val signaturesStage = stage("signatures", h2) {
       val mh = GraftFunctions.minhashSigUdf(cfg.numHashes, cfg.seed)
       shinglesStage.df.select(col("id"), mh(col("shingles")).as("sig"))
     }
 
-    // saltWindow is in the salt because the stage READS it (gates salted
-    // hot-pair generation) — without it a saltWindow change would resume
-    // from a stale candidates checkpoint and corrupt downstream pairs
-    val h3 = chainHash(h2, "candidates", s"${cfg.bands}:${cfg.maxBucket}:${cfg.saltWindow}")
+    val h3 = chain("candidates")
     // the census is cached so the skew disclosure, the pruning join, and the
     // hot-bucket salting all share one computation of the exploded bands
     var censusStats: Map[String, String] = Map.empty
@@ -125,7 +142,7 @@ object CheckpointedDedup {
     }
     if (censusDf != null) censusDf.unpersist(blocking = false)
 
-    val h4 = chainHash(h3, "verified_pairs", s"${cfg.threshold}")
+    val h4 = chain("verified_pairs")
     val verifiedStage = stage("verified_pairs", h4) {
       val jac = Dedup.verify(candidatesStage.df, shinglesStage.df, cfg)
       // suffix-array longest-common-substring pass for long exact overlaps
@@ -140,7 +157,7 @@ object CheckpointedDedup {
           lcsUdf(col("text_a"), col("text_b")).cast("int").as("lcs_len"))
     }
 
-    val h5 = chainHash(h4, "clusters", "cc")
+    val h5 = chain("clusters")
     val clustersStage = stage("clusters", h5) {
       ConnectedComponents.run(docsStage.df.select("id"), verifiedStage.df.select("id_a", "id_b"))
     }

@@ -62,31 +62,60 @@ object IncrementalDedup {
   private def incHash(stage: String, salt: String): String =
     java.lang.Long.toHexString(Rng.hashString(0x494E4352L /* "INCR" */, s"$stage|$salt"))
 
+  private[pipeline] val Stages =
+    Seq("docs", "shingles", "signatures", "candidates", "verified_pairs", "clusters")
+
+  /** Committed increment directories, in order. STRICT `inc-<int>` name
+    * match — a stray `inc-1.bak` backup must be ignored, not brick every
+    * subsequent read with a NumberFormatException (ADVICE r3). */
   private def incDirs(baseDir: String): Seq[String] = {
+    val strict = "^inc-(\\d+)$".r
     val base = Paths.get(baseDir)
     if (!Files.exists(base)) Seq.empty
     else {
       val it = Files.list(base)
       try it.iterator().asScala.toSeq
         .map(_.getFileName.toString)
-        .filter(_.startsWith("inc-"))
-        .sortBy(_.drop(4).toInt)
-        .map(n => s"$baseDir/$n")
+        .collect { case n @ strict(k) => (k.toInt, n) }
+        .sortBy(_._1)
+        .map { case (_, n) => s"$baseDir/$n" }
       finally it.close()
     }
+  }
+
+  /** An increment is COMMITTED only if every stage has a manifest (the
+    * manifest is each stage's atomic last write). A crash mid-increment
+    * leaves a partial inc-* dir; silently reading its `data` files would
+    * anti-join the partially-written docs away as "already crawled" without
+    * ever banding them — permanently excluding them from dedup (ADVICE r3).
+    * Callers must quarantine (rename/delete) the named directory to
+    * proceed. */
+  private def requireCommitted(incDir: String): Unit =
+    for (stage <- Stages)
+      require(
+        TableIO.readManifest(s"$incDir/$stage").isDefined,
+        s"increment at $incDir is PARTIAL (stage '$stage' has no manifest — " +
+          s"a crash mid-write?); quarantine or delete that directory to proceed")
+
+  /** incDirs, each verified committed — every read path goes through this,
+    * so a partial increment can never be silently consumed. */
+  private def committedIncDirs(baseDir: String): Seq[String] = {
+    val dirs = incDirs(baseDir)
+    dirs.foreach(requireCommitted)
+    dirs
   }
 
   /** A full relation as of the latest increment: the base stage unioned
     * with every increment's stage table (for the text-width stages, which
     * are stored incrementally). */
   def readAll(spark: SparkSession, baseDir: String, stage: String): DataFrame =
-    incDirs(baseDir).foldLeft(TableIO.read(spark, s"$baseDir/$stage"))(
+    committedIncDirs(baseDir).foldLeft(TableIO.read(spark, s"$baseDir/$stage"))(
       (df, inc) => df.unionByName(TableIO.read(spark, s"$inc/$stage")))
 
   /** The authoritative pair/cluster tables: the LATEST increment's (each
     * increment writes the full union of these O(pairs)-sized relations). */
   def latest(spark: SparkSession, baseDir: String, stage: String): DataFrame = {
-    val dirs = incDirs(baseDir)
+    val dirs = committedIncDirs(baseDir)
     val dir = if (dirs.isEmpty) s"$baseDir/$stage" else s"${dirs.last}/$stage"
     TableIO.read(spark, dir)
   }
@@ -96,12 +125,25 @@ object IncrementalDedup {
       newPages: DataFrame,
       cfg: DedupConfig,
       baseDir: String): IncReport = {
-    // the base run (plus any prior increments) must be complete
-    for (stage <- Seq("docs", "shingles", "signatures", "candidates", "verified_pairs"))
-      require(TableIO.readManifest(s"$baseDir/$stage").isDefined,
-        s"base run at $baseDir is missing stage '$stage' — run CheckpointedDedup first")
+    // the base run must be complete AND written under THIS cfg: recompute
+    // the base run's chained stage hashes from its docs manifest (which
+    // carries the input-fingerprinted root hash) and require each stage's
+    // manifest to match. A cfg with a different seed/numHashes/bands would
+    // silently union signatures from different hash families — cross-split
+    // near-dups would never collide (ADVICE r3).
+    val baseDocs = TableIO.readManifest(s"$baseDir/docs").getOrElse(
+      throw new IllegalArgumentException(
+        s"base run at $baseDir is missing stage 'docs' — run CheckpointedDedup first"))
+    for ((stage, hash) <- CheckpointedDedup.chainFrom(baseDocs.configHash, cfg)
+         if stage != "clusters")
+      require(TableIO.isComplete(s"$baseDir/$stage", hash),
+        s"base stage '$stage' at $baseDir is missing or was written under a " +
+          s"DIFFERENT config than the supplied cfg ($cfg) — an increment must " +
+          s"use the base run's exact shingle/signature/banding config")
 
-    val priorInc = incDirs(baseDir)
+    // every prior increment must be committed (fail fast naming a partial
+    // one — see requireCommitted)
+    val priorInc = committedIncDirs(baseDir)
     val k = priorInc.size + 1
     val dir = s"$baseDir/inc-$k"
 

@@ -165,8 +165,13 @@ object NearDupStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val retentionMs = retention.toMillis
+    // null event_time rows are EXCLUDED (like null text): watermarking does
+    // NOT drop them, and one would NPE the executor at `event_time.getTime`
+    // in the state update. A doc with no timestamp has no place on the
+    // retention axis — callers who want it paired must assign one upstream.
     val watermarked = fingerprinted(
-      docs.withWatermark("event_time", s"${lateness.toMillis} milliseconds"))
+      docs.where(col("event_time").isNotNull)
+        .withWatermark("event_time", s"${lateness.toMillis} milliseconds"))
       .select(col("fp"), col("doc_id"), col("event_time"),
         chunkColumns(col("fp")).as(Seq("chunk_idx", "chunk")))
       .select(col("chunk_idx").cast("int").as("chunk_idx"), col("chunk"),

@@ -115,6 +115,50 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(full.verifiedPairs.count() == 0)
   }
 
+  test("a PARTIAL increment (missing stage manifest) fails fast, naming the dir") {
+    val all = PagesGen.pages(spark, 80L, seed = 13L, partitions = 4)
+    val dir = tmp("graft-inc-partial")
+    CheckpointedDedup.run(spark, all.where(col("id") < 40).drop("id"), cfg, dir)
+    IncrementalDedup.run(spark, all.where(col("id") >= 40).drop("id"), cfg, dir)
+    // simulate a crash between the signatures parquet write and its manifest
+    val m = java.nio.file.Paths.get(s"$dir/inc-1/signatures/_manifest.json")
+    java.nio.file.Files.delete(m)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.readAll(spark, dir, "docs").count()
+    }
+    assert(e.getMessage.contains("inc-1") && e.getMessage.contains("signatures"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, all.limit(1).drop("id"), cfg, dir)
+    }
+    assert(e2.getMessage.contains("PARTIAL"))
+  }
+
+  test("an increment under a DIFFERENT config fails fast (no silent family mix)") {
+    val all = PagesGen.pages(spark, 60L, seed = 17L, partitions = 4)
+    val dir = tmp("graft-inc-cfgmix")
+    CheckpointedDedup.run(spark, all.where(col("id") < 30).drop("id"), cfg, dir)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(
+        spark, all.where(col("id") >= 30).drop("id"), cfg.copy(seed = 43L), dir)
+    }
+    assert(e.getMessage.contains("DIFFERENT config"))
+    // the matching config still runs fine afterwards
+    val rep = IncrementalDedup.run(spark, all.where(col("id") >= 30).drop("id"), cfg, dir)
+    assert(rep.newDocs == 30L)
+  }
+
+  test("stray inc-prefixed directories are ignored, not a NumberFormatException") {
+    val all = PagesGen.pages(spark, 60L, seed = 19L, partitions = 4)
+    val dir = tmp("graft-inc-stray")
+    CheckpointedDedup.run(spark, all.where(col("id") < 30).drop("id"), cfg, dir)
+    // a manual backup with an inc- prefix must not brick the base dir
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-1.bak"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-notanum"))
+    val rep = IncrementalDedup.run(spark, all.where(col("id") >= 30).drop("id"), cfg, dir)
+    assert(rep.incDir.endsWith("inc-1"))
+    assert(IncrementalDedup.readAll(spark, dir, "docs").count() == 60L)
+  }
+
   test("already-crawled urls in an increment are dropped, not re-ingested") {
     val n = 80L
     val all = PagesGen.pages(spark, n, seed = 11L, partitions = 4)

@@ -167,6 +167,32 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("null event_time rows are excluded, not an executor NPE") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Option[java.sql.Timestamp])](spark)
+    val textA = (1 to 120).map(i => s"nully$i").mkString(" ")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val docs = input.toDF().toDF("doc_id", "text", "event_time")
+    val q = NearDupStream
+      .pairsEventTime(docs, maxHamming = 6, maxMembers = 1000,
+        lateness = 10.seconds, retention = 60.seconds)
+      .writeStream.format("memory").queryName("neardup_et_null").outputMode("update")
+      .start()
+    try {
+      // the null-timestamp doc would NPE at event_time.getTime without the
+      // filter (watermarking does NOT drop null event-time rows); it also
+      // must not pair
+      input.addData(
+        (1L, textA, Some(ts(1000))), (2L, textA, None), (3L, textA, Some(ts(1010))))
+      q.processAllAvailable()
+      val got = spark.table("neardup_et_null")
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 3L)))
+    } finally q.stop()
+  }
+
   test("state cap bounds hot buckets to O(n·cap) pairs instead of O(n²)") {
     import spark.implicits._
     // 50 identical docs, cap 10: the first 10 arrivals fill the state and
