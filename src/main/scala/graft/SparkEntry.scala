@@ -452,15 +452,48 @@ object SparkEntry {
         .orderBy("event_type", "day")),
     // --------------------------------------------------------- multimodal
     "q_multimodal_meta" -> ((s, dir) => {
-      // Binary-column plumbing: opaque bytes + typed metadata; the decode
-      // step itself is stubbed (no media libs in this env) — see
-      // graft.multimodal.Multimodal for the mapPartitions feature extractor.
+      // Binary-column plumbing: opaque bytes + payload-level metadata via
+      // codegen'd column ops (never a decoder). Typed CONTAINER metadata —
+      // real BMP/WAV header decode, pure byte arithmetic — is gated
+      // separately by q_media_headers; only entropy-coded pixel/sample
+      // decode (JPEG/PNG/MP3) remains stubbed (no codecs in this env) —
+      // see graft.multimodal.Multimodal.
       val bin = encode(col("text"), "UTF-8")
       docs(s, dir)
         .select(
           col("doc_id"),
           octet_length(bin).cast("long").as("n_bytes"),
           substring(hex(bin), 1, 8).as("magic"))
+        .orderBy("doc_id")
+    }),
+    "q_media_headers" -> ((s, dir) => {
+      // REAL container-header decode under the bitwise gate: deterministic
+      // BMP/WAV/garbage payloads are synthesized from (doc_id, text) with
+      // little-endian ByteBuffer writes, then round-tripped through
+      // Multimodal.typedMetadata (Headers.parse — manual le16/le32 byte
+      // arithmetic, an independent code path); the oracle recomputes the
+      // expected fields directly from the same integer spec, so an offset
+      // or sign error in either encode or decode breaks parity. Negative
+      // BMP heights (top-down rows) exercise signed le32.
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          graft.multimodal.Multimodal.MediaRow(
+            id,
+            if (id % 2 == 0) "image" else "audio",
+            graft.multimodal.Multimodal.SyntheticMedia.bytes(id, t))
+        }
+      graft.multimodal.Multimodal.typedMetadata(media)
+        .toDF()
+        .select(
+          col("id").as("doc_id"),
+          col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"))
         .orderBy("doc_id")
     })
   )
@@ -679,6 +712,28 @@ object SparkEntry {
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  substring(hex(encode(text)), 1, 8) AS magic
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_media_headers" ->
+        // expected header fields recomputed DIRECTLY from the synthesis
+        // spec (SyntheticMedia scaladoc) — Spark's output comes from
+        // encode→parse over actual bytes, so parity proves the decode
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+          |       WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+          |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
+          |       THEN (length(text) % 3000) + 1 ELSE 0 END AS BIGINT) AS width,
+          |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
+          |       THEN CASE WHEN doc_id % 3 = 0 THEN -((doc_id % 2000) + 1)
+          |                 ELSE (doc_id % 100000) + 1 END
+          |       ELSE 0 END AS BIGINT) AS height,
+          |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 1
+          |       THEN (doc_id % 8) + 1 ELSE 0 END AS BIGINT) AS channels,
+          |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 1
+          |       THEN 8000 + (doc_id % 6) * 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+          |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 1
+          |       THEN CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+          |                            WHEN 2 THEN 24 ELSE 32 END
+          |       ELSE 0 END AS BIGINT) AS bits_per_sample
           |FROM documents ORDER BY doc_id""".stripMargin
     )
   }

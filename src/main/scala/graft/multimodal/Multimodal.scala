@@ -91,6 +91,56 @@ object Multimodal {
       else None
   }
 
+  /** Deterministic synthetic BMP/WAV/garbage payloads derived from
+    * (doc_id, text) — the fixture that puts [[Headers.parse]] under the
+    * bitwise DuckDB gate (q_media_headers): the oracle recomputes the
+    * EXPECTED field values from the same (doc_id, text) arithmetic, while
+    * Spark round-trips them through encode → parse. Encoding uses
+    * ByteBuffer little-endian writes — an INDEPENDENT code path from
+    * parse's manual byte arithmetic, so a sign or offset error on either
+    * side fails the gate (they cannot share a compensating bug).
+    *
+    * Field spec (mirrored in the oracle SQL, integer arithmetic only):
+    *  - doc_id % 7 == 0 → garbage (leading 0x00 — never a valid magic)
+    *  - else even doc_id → BMP: width = (len(text) % 3000) + 1,
+    *    height = −((doc_id % 2000)+1) when doc_id % 3 == 0 (top-down BMPs
+    *    have NEGATIVE height — exercises signed le32) else
+    *    (doc_id % 100000) + 1
+    *  - else (odd) → WAV: channels = (doc_id % 8)+1,
+    *    sample_rate = 8000 + (doc_id % 6)·8000,
+    *    bits = [8,16,24,32][doc_id % 4] */
+  object SyntheticMedia {
+    def bytes(id: Long, text0: String): Array[Byte] = {
+      val text = if (text0 == null) "" else text0
+      if (id % 7 == 0) {
+        val t = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = new Array[Byte](1 + math.min(t.length, 24))
+        System.arraycopy(t, 0, out, 1, out.length - 1)
+        out
+      } else if (id % 2 == 0) {
+        val bb = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte)
+        bb.position(18)
+        bb.putInt((text.length % 3000) + 1)
+        bb.putInt(
+          if (id % 3 == 0) -((id % 2000).toInt + 1) else (id % 100000).toInt + 1)
+        bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.position(8)
+        bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.position(22)
+        bb.putShort(((id % 8) + 1).toShort)
+        bb.putInt((8000 + (id % 6) * 8000).toInt)
+        bb.position(34)
+        bb.putShort(Array(8, 16, 24, 32)((id % 4).toInt).toShort)
+        bb.array()
+      }
+    }
+  }
+
   final case class TypedMeta(
       id: Long, kind: String, format: String, width: Int, height: Int,
       channels: Int, sample_rate: Int, bits_per_sample: Int)
