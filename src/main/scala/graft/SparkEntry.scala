@@ -189,11 +189,16 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
     "q_quality" -> ((s, dir) => {
+      // graft_lex_count / graft_len_sum: same integers as the
+      // filter/transform/aggregate HOF trees (which Spark evaluates
+      // interpreted, one boxed lambda per token — a CPU multiplier over
+      // a 100 TB corpus); oracle unchanged
+      graft.functions.GraftExpressions.register(s)
       val ws = split(col("text"), " ", -1)
-      val stop = array(Seq("the", "a", "an", "of", "to", "and", "in", "on", "is", "it").map(lit): _*)
+      val stopLex = Seq("the", "a", "an", "of", "to", "and", "in", "on", "is", "it")
       val nWords = size(ws).cast("long")
-      val stopCnt = size(filter(ws, w => array_contains(stop, w))).cast("long")
-      val sumLen = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), (acc, v) => acc + v)
+      val stopCnt = call_function("graft_lex_count", col("text"), array(stopLex.map(lit): _*))
+      val sumLen = call_function("graft_len_sum", ws)
       docs(s, dir)
         .select(
           col("doc_id"),
@@ -209,9 +214,9 @@ object SparkEntry {
       // (Round 1-2 used a first-match contains() chain — one token decided
       // the language; this weighs evidence, which is what an n-gram
       // heuristic means.) Exact integer counts → bitwise-oracleable.
-      val ws = split(col("text"), " ", -1)
+      graft.functions.GraftExpressions.register(s)
       def score(lex: Seq[String]): Column =
-        size(filter(ws, w => array_contains(array(lex.map(lit): _*), w))).cast("long")
+        call_function("graft_lex_count", col("text"), array(lex.map(lit): _*))
       val sEn = score(LangLex.en); val sDe = score(LangLex.de)
       val sFr = score(LangLex.fr); val sEs = score(LangLex.es)
       val m = greatest(sEn, sDe, sFr, sEs)
@@ -231,14 +236,16 @@ object SparkEntry {
       // core): letter runs, digit runs, single punctuation marks. The
       // pattern uses only portable character classes, so Java regex (Spark)
       // and RE2 (DuckDB) tokenize identically symbol-for-symbol.
+      graft.functions.GraftExpressions.register(s)
       val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
       docs(s, dir)
         .select(
           col("doc_id"),
           size(toks).cast("long").as("n_subtokens"),
           size(array_distinct(toks)).cast("long").as("n_distinct_subtokens"),
-          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v)
-            .as("n_subtoken_chars"))
+          // graft_len_sum ≡ aggregate(transform(toks, length)) incl. the
+          // null-propagation contract the oracle's gated coalesce mirrors
+          call_function("graft_len_sum", toks).as("n_subtoken_chars"))
         .orderBy("doc_id")
     }),
     "q_ngram_jaccard_pairs" -> ((s, dir) =>

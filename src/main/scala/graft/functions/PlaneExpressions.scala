@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -332,6 +333,95 @@ case class HammingSumExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): HammingSumExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_hamming_sum"
+}
+
+/** graft_lex_count(text, lexicon): tokens of `split(text, ' ', -1)` that
+  * are members of the (plan-time literal) lexicon — the codegen form of
+  * `size(filter(ws, w => array_contains(lex, w)))`, which runs interpreted
+  * per doc (one boxed lambda call per token: a CPU multiplier over a
+  * 100 TB corpus). Same integer for any input, so the q_quality/q_lang_id
+  * oracles are untouched. */
+case class LexCountExpr(child: Expression, lexicon: Seq[String]) extends UnaryExpression {
+  private val lexSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    lexicon.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = LongType
+  def count(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    // split on SINGLE space keeping empties — identical token stream to
+    // split(text, ' ', -1) (empty tokens can never be lexicon members)
+    val parts = text.split(org.apache.spark.unsafe.types.UTF8String.fromString(" "), -1)
+    var n = 0L
+    var i = 0
+    while (i < parts.length) { if (lexSet.contains(parts(i))) n += 1; i += 1 }
+    n
+  }
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lexCountExpr", this, classOf[LexCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LexCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lex_count"
+}
+
+/** graft_len_sum(arr): Σ length(arr[i]) over a string array — the codegen
+  * form of `aggregate(transform(arr, length), 0, +)` (length = Unicode
+  * code-point count, exactly the built-in). Null elements contribute null
+  * → whole sum null, matching the HOF tree. */
+case class LenSumExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else LenSumExpr.sum(v.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val sum = ctx.freshName("lenSum")
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = ${c.isNull};
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          Long $sum = graft.functions.LenSumExpr.sumOrNull(${c.value});
+          if ($sum == null) { ${ev.isNull} = true; } else { ${ev.value} = $sum.longValue(); }
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LenSumExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_len_sum"
+}
+
+object LenSumExpr {
+  /** null ⇔ any element null (the HOF tree's aggregate-over-null). */
+  def sumOrNull(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      s += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+  def sum(arr: ArrayData): Any = sumOrNull(arr)
 }
 
 /** graft_cosq(a, b): exact quantized-int cosine, one fused loop. */

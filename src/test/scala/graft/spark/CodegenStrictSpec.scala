@@ -206,6 +206,47 @@ class CodegenStrictSpec extends AnyFunSuite {
     assert(got == PlaneKernel.hammingSum(arr(ba), arr(bb)))
   }
 
+  test("graft_lex_count compiles strictly and matches the filter/contains tree") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val lex = Seq("the", "a", "of")
+    val texts = Seq(
+      "the cat of a the", "", " ", "a  a", "nolex words here", "the", "ünï the ünï")
+    val rows = strictCodegen {
+      texts.toDF("t").select(
+        call_function("graft_lex_count", col("t"), array(lex.map(lit): _*)).as("k"),
+        size(filter(split(col("t"), " ", -1),
+          w => array_contains(array(lex.map(lit): _*), w))).cast("long").as("ref"))
+        .collect()
+    }
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("graft_len_sum compiles strictly and matches the transform/aggregate tree") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val arrays: Seq[Array[String]] = Seq(
+      Array("abc", "", "déjà", "x"), Array.empty[String], Array("ünïcode"))
+    val rows = strictCodegen {
+      arrays.toDF("a").select(
+        call_function("graft_len_sum", col("a")).as("k"),
+        aggregate(transform(col("a"), t => length(t).cast("long")), lit(0L),
+          (acc, v) => acc + v).as("ref"))
+        .collect()
+    }
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // null array and null element both yield NULL, like the HOF tree
+    val nulls = strictCodegen {
+      Seq(Tuple1(null: Array[String]), Tuple1(Array("x", null)))
+        .toDF("a").select(
+          call_function("graft_len_sum", col("a")).as("k"),
+          aggregate(transform(col("a"), t => length(t).cast("long")), lit(0L),
+            (acc, v) => acc + v).as("ref"))
+        .collect()
+    }
+    nulls.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1) && r.isNullAt(0), r.toString))
+  }
+
   test("md5-minhash lane count above MaxLanes fails at PLAN time, not per-row") {
     import spark.implicits._
     graft.functions.GraftExpressions.register(spark)
