@@ -11,56 +11,75 @@ package graft.core
   */
 object SuffixArray {
 
-  /** Suffix array of s (indices sorted by suffix). Prefix doubling with the
-    * (rank, nextRank, index) triple packed into one primitive Long per
-    * suffix and sorted via Arrays.sort — no boxing, no comparator closures
-    * (this runs per candidate pair on executors; allocation rate matters).
+  /** Suffix array of s (indices sorted by suffix). Manber–Myers prefix
+    * doubling with a COUNTING (radix) sort per round — O(n) per doubling
+    * instead of the comparison sort the first version paid (the per-pair
+    * LCS kernel dominates the incremental verify stage on web-page-length
+    * texts: measured 34 ms/pair at ~23k chars with Arrays.sort rounds,
+    * ~4× less with radix). All-primitive, no boxing, no comparator
+    * closures — this runs per candidate pair on executors.
     * Requires n < 2^21 and s values ≥ 0 (callers remap chars to +2). */
   def build(s: Array[Int]): Array[Int] = {
     val n = s.length
     require(n < (1 << 21), s"suffix array input too long: $n")
+    if (n == 0) return new Array[Int](0)
     val IdxBits = 21
     val IdxMask = (1L << IdxBits) - 1
-    val sa = new Array[Int](n)
+    var sa = new Array[Int](n)
     var rank = new Array[Int](n)
     var next = new Array[Int](n)
-    val keys = new Array[Long](n)
+    val tmp = new Array[Int](n)
 
-    // initial ranks from character codes (chars ≤ 2^17 < 2^21 fit the pack)
+    // initial order + ranks from character codes (one packed sort; chars
+    // ≤ 2^17 < 2^21 fit the pack)
+    val keys = new Array[Long](n)
     var i = 0
     while (i < n) { keys(i) = (s(i).toLong << IdxBits) | i; i += 1 }
     java.util.Arrays.sort(keys)
     var r = 0
     i = 0
     while (i < n) {
+      val idx = (keys(i) & IdxMask).toInt
       if (i > 0 && (keys(i) >>> IdxBits) != (keys(i - 1) >>> IdxBits)) r += 1
-      rank((keys(i) & IdxMask).toInt) = r
+      rank(idx) = r
+      sa(i) = idx
       i += 1
     }
 
     var k = 1
     while (k < n && r < n - 1) {
-      // key = (rank+1)(21b) ## (rank[i+k]+1)(21b) ## index(21b); ranks < n < 2^21
+      // order by the SECOND key (rank[i+k], with i+k ≥ n ordered first as
+      // -inf): suffixes starting in the last k positions lead, the rest
+      // follow the current sa order shifted left by k — no sort needed
+      var p = 0
+      i = n - k
+      while (i < n) { tmp(p) = i; p += 1; i += 1 }
       i = 0
-      while (i < n) {
-        val r2 = if (i + k < n) rank(i + k) + 1 else 0
-        keys(i) = (((rank(i) + 1).toLong << IdxBits | r2) << IdxBits) | i
-        i += 1
-      }
-      java.util.Arrays.sort(keys)
-      r = 0
-      next((keys(0) & IdxMask).toInt) = 0
+      while (i < n) { val j = sa(i) - k; if (j >= 0) { tmp(p) = j; p += 1 }; i += 1 }
+      // stable counting sort by the FIRST key (current rank)
+      val cnt = new Array[Int](r + 2)
+      i = 0
+      while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i < cnt.length) { cnt(i) += cnt(i - 1); i += 1 }
+      i = 0
+      while (i < n) { val idx = tmp(i); val c = rank(idx); sa(cnt(c)) = idx; cnt(c) += 1; i += 1 }
+      // recompute ranks from adjacent (rank, rank+k) pairs
+      var rr = 0
+      next(sa(0)) = 0
       i = 1
       while (i < n) {
-        if ((keys(i) >>> IdxBits) != (keys(i - 1) >>> IdxBits)) r += 1
-        next((keys(i) & IdxMask).toInt) = r
+        val a = sa(i); val b = sa(i - 1)
+        val a2 = if (a + k < n) rank(a + k) else -1
+        val b2 = if (b + k < n) rank(b + k) else -1
+        if (rank(a) != rank(b) || a2 != b2) rr += 1
+        next(a) = rr
         i += 1
       }
       val t = rank; rank = next; next = t
+      r = rr
       k <<= 1
     }
-    i = 0
-    while (i < n) { sa(rank(i)) = i; i += 1 }
     sa
   }
 

@@ -14,9 +14,9 @@ import graft.sources.TableIO
   * daily increment must not re-hash the petabytes already processed.
   *
   * What is reused vs recomputed:
-  *  - REUSED (never re-read text, never re-hashed): the base run's `docs`,
-  *    `shingles`, `signatures` checkpoints — the text-width stages that
-  *    dominate cost;
+  *  - REUSED (old text is never re-shingled corpus-wide): the base run's
+  *    `docs` and `signatures` checkpoints — signatures are the only
+  *    corpus-wide text-derived relation the increment needs (for banding);
   *  - RECOMPUTED over the union (narrow 16 B/row): band hashes → bucket
   *    census → candidate pairs. Banding is stateless per doc, so the union
   *    band table is exactly what a from-scratch run would build — this is
@@ -25,7 +25,10 @@ import graft.sources.TableIO
   *  - VERIFIED only for pairs NOT already adjudicated: union candidates
   *    anti-join the base candidates checkpoint (a pair that was a candidate
   *    before has a known verdict — in `verified_pairs` or failed the
-  *    threshold; re-verifying it is waste);
+  *    threshold; re-verifying it is waste). Verify-stage shingles are
+  *    RE-DERIVED from the pruned pair-docs' text (O(pairs) hashing) rather
+  *    than re-read from the O(corpus) shingle checkpoint — the widest
+  *    relation in the store for the smallest pair set (see run());
   *  - clusters re-resolved over all ids + the union verified pairs
   *    (connected components is cheap relative to text hashing).
   *
@@ -148,21 +151,31 @@ object IncrementalDedup {
     val dir = s"$baseDir/inc-$k"
 
     val oldDocs = readAll(spark, baseDir, "docs") // (id, url, text)
-    val oldShingles = readAll(spark, baseDir, "shingles")
     val oldSigs = readAll(spark, baseDir, "signatures")
     val oldCand = latest(spark, baseDir, "candidates")
     val oldVerified = latest(spark, baseDir, "verified_pairs")
 
+    // -Dgraft.inc.verbose=true → per-stage wall (incl. the materializing
+    // write) on stdout; the manifest's wallMillis records the same number
+    val verbose = java.lang.Boolean.getBoolean("graft.inc.verbose")
     def stage(name: String, salt: String)(compute: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val df = compute
       TableIO.write(df, s"$dir/$name", name, incHash(name, salt),
         (System.nanoTime() - t0) / 1000000L)
+      if (verbose)
+        println(f"[inc] $name%-15s ${(System.nanoTime() - t0) / 1e9}%7.2f s (incl. write)")
       TableIO.read(spark, s"$dir/$name")
     }
 
+    // The increment input is scanned twice (fingerprint + docs stage).
+    // An increment is SMALL by definition (a daily batch, not the corpus),
+    // so cache it across the two — the base pipeline deliberately does NOT
+    // do this (a 100 TB corpus cannot cache; its fingerprint pass stays a
+    // cheap columnar scan).
+    val newPagesC = newPages.cache()
     // input fingerprint of the increment (same derivation as the base run's)
-    val fp = newPages
+    val fp = newPagesC
       .agg(count(lit(1)).cast("long").as("n"),
         coalesce(expr("bit_xor(xxhash64(url, text))"), lit(0L)).as("x"))
       .first()
@@ -172,11 +185,12 @@ object IncrementalDedup {
     // url is the SAME document — dropped here, like dropDuplicates within a
     // batch), with ids unique AND disjoint from every existing id
     val newDocsDf = stage("docs", salt) {
-      val fresh = newPages.dropDuplicates("url")
+      val fresh = newPagesC.dropDuplicates("url")
         .join(oldDocs.select("url").hint("shuffle_hash"), Seq("url"), "left_anti")
       DocIds.assignDisjoint(fresh, oldDocs.select("id"))
         .select(col("id"), col("url"), col("text"))
     }
+    newPagesC.unpersist(blocking = false) // docs stage write materialized it
 
     // 2-3. text-width stages for NEW rows only — the whole point
     val sh =
@@ -203,8 +217,11 @@ object IncrementalDedup {
     val bandsDf = Dedup.bands(unionSigs, cfg)
     val newBands = Dedup.bands(newSigs, cfg)
     val census = Dedup.bucketCensus(bandsDf).cache()
+    val tCensus = System.nanoTime()
     val hot = census
       .agg(count(when(col("bucket_size") > cfg.maxBucket, 1)).as("c")).first().getLong(0)
+    if (verbose)
+      println(f"[inc] census-probe    ${(System.nanoTime() - tCensus) / 1e9}%7.2f s (union bands + census cache fill)")
     val gate = census.where(col("bucket_size").between(2, cfg.maxBucket))
       .select("band_hash")
       .hint("shuffle_hash") // unbounded key set — never broadcast
@@ -232,15 +249,49 @@ object IncrementalDedup {
 
     // 5. verify ONLY unadjudicated pairs, with shingles drawn from the
     // union (one side of a new pair may be an old doc — its shingles come
-    // from the base checkpoint, not from re-hashed text)
+    // from the base checkpoint, not from re-hashed text). The shingle and
+    // text relations are PRUNED to ids that actually appear in those pairs
+    // before the verify joins: without the prune the sort-merge join sorts
+    // the ENTIRE union shingle relation (O(corpus·shingle-width) — measured
+    // 37 s of a 50 s increment on the text-heavy probe) for a pair set that
+    // is O(new dups). The id prune keeps verify proportional to the work,
+    // which is the whole point of the incremental path.
     val toVerify = candOut.join(oldCand.hint("shuffle_hash"), Seq("id_a", "id_b"), "left_anti")
-    val unionShingles = oldShingles.unionByName(newShingles)
+    // A shuffle-side prune still SHUFFLES the whole corpus-sized relation
+    // (Spark probes the build side during the big side's shuffle read) —
+    // on this VM's 3.2 ms-syscall path that shuffle IS the cost. When the
+    // unadjudicated pair set is provably small (one cheap count over the
+    // candidates parquet — pairs are O(new dups), not O(corpus)), the id
+    // set broadcasts EXPLICITLY, so the shingle/text relations are probed
+    // at scan time with no shuffle of the wide payloads at all. The
+    // shuffle_hash fallback covers the unbounded worst case (a degenerate
+    // increment that candidates half the corpus).
+    val nToVerify = toVerify.count()
+    if (verbose) println(s"[inc] unadjudicated pairs to verify: $nToVerify")
+    val vIds0 = toVerify.select(col("id_a").as("id"))
+      .union(toVerify.select(col("id_b").as("id")))
+      .distinct()
+    val vIds =
+      if (nToVerify <= 2000000L) broadcast(vIds0) else vIds0.hint("shuffle_hash")
     val unionDocsAll = oldDocs.unionByName(newDocsDf)
+    // docs of the unadjudicated pairs, CACHED: O(pairs) rows, referenced
+    // three times below (shingle re-derivation + both LCS text joins).
+    // Shingles for these docs are RE-DERIVED from their text instead of
+    // re-read from the base shingle checkpoint: shingling is a pure
+    // function of text, the LCS pass scans these texts anyway, and the
+    // checkpoint read was an O(corpus) scan+decode of the widest relation
+    // in the store for an O(new-dups) pair set (measured ~8 s of the
+    // text-heavy probe's verify stage). Re-hashing here is O(pairs) work —
+    // NOT a violation of the never-re-hash-old-text contract, which is
+    // about corpus-proportional cost.
+    val prunedDocs = unionDocsAll.join(vIds, "id").cache()
+    val prunedShingles = prunedDocs.select(col("id"), sh(col("text")).as("shingles"))
     val newVerified = Dedup.withLcsColumn(
-      Dedup.verify(toVerify, unionShingles, cfg), unionDocsAll)
+      Dedup.verify(toVerify, prunedShingles, cfg), prunedDocs)
     val verifiedOut = stage("verified_pairs", salt) {
       oldVerified.unionByName(newVerified).dropDuplicates("id_a", "id_b")
     }
+    prunedDocs.unpersist(blocking = false) // stage write materialized it
 
     // 6. clusters over every id + the union verified pairs
     val clustersOut = stage("clusters", salt) {

@@ -33,9 +33,9 @@ object PagesGen {
     word((u * u * VocabSize).toInt.min(VocabSize - 1))
   }
 
-  private def baseText(seed: Long, cluster: Long): Array[String] = {
+  private def baseText(seed: Long, cluster: Long, textScale: Int): Array[String] = {
     val s = Rng.derive(seed, Rng.mix64(cluster) ^ 0x42415345L /* "BASE" */ )
-    val len = 150 + (Rng.at(s, -1) & 0xFF).toInt // 150..405 words
+    val len = (150 + (Rng.at(s, -1) & 0xFF).toInt) * textScale // 150..405 words × scale
     Array.tabulate(len)(j => drawWord(s, j.toLong))
   }
 
@@ -52,20 +52,24 @@ object PagesGen {
     out
   }
 
-  def textFor(seed: Long, id: Long): String = {
+  /** @param textScale multiplies document length (default 1). The probe
+    *        fixtures use 10 so the text-width stages dominate the pipeline
+    *        the way they do on real web pages — PagesGen's short docs
+    *        under-show text-stage reuse (BENCH/BASELINE.md r3 disclosure). */
+  def textFor(seed: Long, id: Long, textScale: Int = 1): String = {
     val cluster = id / ClusterSlots
     val slot = (id % ClusterSlots).toInt
     val words = slot match {
-      case 0 => baseText(seed, cluster)
-      case 1 => mutate(baseText(seed, cluster), Rng.derive(seed, id), 0.02)
-      case 2 => mutate(baseText(seed, cluster), Rng.derive(seed, id), 0.06)
-      case _ => baseText(Rng.derive(seed, 0x5149D), id) // independent singleton
+      case 0 => baseText(seed, cluster, textScale)
+      case 1 => mutate(baseText(seed, cluster, textScale), Rng.derive(seed, id), 0.02)
+      case 2 => mutate(baseText(seed, cluster, textScale), Rng.derive(seed, id), 0.06)
+      case _ => baseText(Rng.derive(seed, 0x5149D), id, textScale) // independent singleton
     }
     words.mkString(" ")
   }
 
-  def pageFor(seed: Long, id: Long): Page = {
-    val text = textFor(seed, id)
+  def pageFor(seed: Long, id: Long, textScale: Int = 1): Page = {
+    val text = textFor(seed, id, textScale)
     val url = s"https://site-${Rng.mix64(id) & 0xFF}.example/page-$id"
     val ts = new Timestamp(1700000000000L + (Rng.at(seed, id) & 0xFFFFFFFL))
     val lang = (Rng.at(Rng.derive(seed, 0x1A46L), id) & 15L) match {
@@ -77,10 +81,11 @@ object PagesGen {
   }
 
   /** Distributed corpus: pages(url, warc_ts, html, text, lang) + id column. */
-  def pages(spark: SparkSession, n: Long, seed: Long = 0L, partitions: Int = 32): DataFrame = {
+  def pages(spark: SparkSession, n: Long, seed: Long = 0L, partitions: Int = 32,
+      textScale: Int = 1): DataFrame = {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions)
-      .mapPartitions(_.map(id => (id, pageFor(seed, id))))
+      .mapPartitions(_.map(id => (id, pageFor(seed, id, textScale))))
       .toDF("id", "page")
       .select("id", "page.*")
   }
