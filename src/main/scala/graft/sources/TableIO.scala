@@ -46,8 +46,13 @@ object TableIO {
     spark.read.parquet(s"$dir/data")
 
   /** Write df as a new snapshot with per-file lineage. The manifest is
-    * written LAST (atomic move) so a crash mid-write never yields a
-    * "complete" stage. */
+    * DELETED first and re-written LAST (atomic move): a stage being
+    * REWRITTEN (config-hash invalidation) would otherwise keep its stale
+    * manifest while the data directory is mid-overwrite — a crash in that
+    * window leaves a valid-looking manifest over partial data, which
+    * downstream manifest-presence checks (IncrementalDedup's committed-
+    * increment gate) would trust. With delete-first, every crash window
+    * yields a manifest-less (= incomplete) stage. */
   def write(
       df: DataFrame,
       dir: String,
@@ -57,6 +62,7 @@ object TableIO {
       extra: Map[String, String] = Map.empty): Manifest = {
     val spark = df.sparkSession
     val dataDir = s"$dir/data"
+    Files.deleteIfExists(manifestPath(dir))
     df.write.mode("overwrite").parquet(dataDir)
     // per-file lineage from the files actually written (one footer-only scan)
     val lineage = spark.read.parquet(dataDir)

@@ -159,6 +159,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.readAll(spark, dir, "docs").count() == 60L)
   }
 
+  test("a crashed stage REWRITE cannot leave a stale valid-looking manifest") {
+    import spark.implicits._
+    val dir = tmp("graft-rewrite-crash")
+    val ok = Seq((1L, "a")).toDF("id", "text")
+    TableIO.write(ok, s"$dir/stage", "stage", "h1", 0L)
+    assert(TableIO.readManifest(s"$dir/stage").isDefined)
+    // a rewrite whose job fails mid-write (executor-side exception) must
+    // NOT leave the OLD manifest presiding over partial/overwritten data
+    val boom = org.apache.spark.sql.functions.udf((i: Long) =>
+      if (i >= 0) throw new RuntimeException("boom") else i)
+    val bad = Seq((2L, "b")).toDF("id", "text")
+      .withColumn("id", boom(org.apache.spark.sql.functions.col("id")))
+    intercept[Exception] {
+      TableIO.write(bad, s"$dir/stage", "stage", "h2", 0L)
+    }
+    assert(TableIO.readManifest(s"$dir/stage").isEmpty,
+      "stale manifest survived a crashed rewrite")
+  }
+
   test("already-crawled urls in an increment are dropped, not re-ingested") {
     val n = 80L
     val all = PagesGen.pages(spark, n, seed = 11L, partitions = 4)

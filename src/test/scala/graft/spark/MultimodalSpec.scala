@@ -94,4 +94,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).sample_rate == 44100 && rows(1).channels == 2)
     assert(rows.length == 3) // unparseable rows surfaced, not dropped
   }
+
+  test("SyntheticMedia round-trips through Headers.parse per its field spec") {
+    // encode (ByteBuffer LE) and decode (manual byte arithmetic) are
+    // independent code paths; this pins the round-trip on adversarial ids
+    // locally, complementing the corpus-wide q_media_headers oracle gate
+    def expect(id: Long, text: String): Unit = {
+      val parsed = Multimodal.Headers.parse(Multimodal.SyntheticMedia.bytes(id, text))
+      if (id % 7 == 0) assert(parsed.isEmpty, s"id=$id should be unparseable")
+      else if (id % 2 == 0) {
+        val h = parsed.get
+        assert(h.format == "bmp" && h.width == (text.length % 3000) + 1)
+        val wantH =
+          if (id % 3 == 0) -((id % 2000).toInt + 1) else (id % 100000).toInt + 1
+        assert(h.height == wantH, s"id=$id height")
+      } else {
+        val h = parsed.get
+        assert(h.format == "wav" && h.channels == (id % 8).toInt + 1)
+        assert(h.sampleRate == 8000 + (id % 6).toInt * 8000)
+        assert(h.bitsPerSample == Array(8, 16, 24, 32)((id % 4).toInt))
+      }
+    }
+    val longText = "x" * 5000
+    // 6/98304 = even & id%3==0 → NEGATIVE height (top-down BMP, signed
+    // le32; 98304 exercises multi-byte magnitudes); 99998 = even positive
+    // height 99999 (> 2^16 — high bytes); 35 = odd (wav); 0/49 = %7
+    Seq(6L, 98304L, 99998L, 2L, 35L, 1L, 0L, 49L).foreach { id =>
+      expect(id, "short")
+      expect(id, longText)
+      expect(id, "")
+    }
+  }
 }
