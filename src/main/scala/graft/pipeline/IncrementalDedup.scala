@@ -268,11 +268,15 @@ object IncrementalDedup {
     // increment that candidates half the corpus).
     val nToVerify = toVerify.count()
     if (verbose) println(s"[inc] unadjudicated pairs to verify: $nToVerify")
+    // broadcast-vs-shuffle cutover for the id prune; overridable so tests
+    // can force the shuffle fallback (-Dgraft.inc.broadcastIdLimit=0)
+    val broadcastIdLimit =
+      java.lang.Long.getLong("graft.inc.broadcastIdLimit", 2000000L)
     val vIds0 = toVerify.select(col("id_a").as("id"))
       .union(toVerify.select(col("id_b").as("id")))
       .distinct()
     val vIds =
-      if (nToVerify <= 2000000L) broadcast(vIds0) else vIds0.hint("shuffle_hash")
+      if (nToVerify <= broadcastIdLimit) broadcast(vIds0) else vIds0.hint("shuffle_hash")
     val unionDocsAll = oldDocs.unionByName(newDocsDf)
     // docs of the unadjudicated pairs, CACHED: O(pairs) rows, referenced
     // three times below (shingle re-derivation + both LCS text joins).
