@@ -39,6 +39,28 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(lcs > base.length / 3)
   }
 
+  test("degenerate inputs: ranks stay tied through max doubling rounds") {
+    // all-equal characters keep every rank tied until k exceeds the suffix
+    // length — the counting-sort rounds run with r ≈ n/k distinct ranks,
+    // the radix path's worst case (the comparison-sort version sorted
+    // equal-key runs; the radix version must place them stably)
+    val a = "a" * 3000
+    val b = "a" * 2900
+    assert(SuffixArray.lcsLength(a, b) == 2900)
+    // periodic text: long tied prefixes with late differentiation
+    val p = "abcab" * 600
+    val q = "abcab" * 580 + "z"
+    assert(SuffixArray.lcsLength(p, q) == 2900)
+    // brute-force agreement on longer binary-alphabet strings than the
+    // 40-char random suite (tied ranks persist ~log2(500) rounds)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 8) {
+      val x = Array.fill(500)(('a' + rnd.nextInt(2)).toChar).mkString
+      val y = Array.fill(500)(('a' + rnd.nextInt(2)).toChar).mkString
+      assert(SuffixArray.lcsLength(x, y) == bruteLcs(x, y))
+    }
+  }
+
   test("caps input length") {
     val big = "ab" * 50000
     assert(SuffixArray.lcsLength(big, big, maxLen = 1000) == 1000)
