@@ -728,7 +728,7 @@ object SparkEntry {
           |  CASE WHEN doc_id % 7 = 0 THEN 'unknown'
           |       WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
           |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
-          |       THEN (length(text) % 3000) + 1 ELSE 0 END AS BIGINT) AS width,
+          |       THEN (coalesce(length(text), 0) % 3000) + 1 ELSE 0 END AS BIGINT) AS width,
           |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
           |       THEN CASE WHEN doc_id % 3 = 0 THEN -((doc_id % 2000) + 1)
           |                 ELSE (doc_id % 100000) + 1 END

@@ -91,8 +91,11 @@ object PlaneKernel {
       // ANSI-faithful: the reference tree's cast THROWS on NaN/±Inf/overflow
       // under Spark 4's default ansi.enabled — a garbage embedding must fail
       // loudly here too, not wrap to Long.MinValue
+      // bounds mirror ANSI Cast exactly: 2^63 overflows (> Long.MaxValue)
+      // but −2^63 IS Long.MinValue — the negative check must be STRICT or
+      // the kernel throws where the reference tree returns Long.MinValue
       if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d) ||
-          d >= 9.223372036854776e18 || d <= -9.223372036854776e18)
+          d >= 9.223372036854776e18 || d < -9.223372036854776e18)
         throw new ArithmeticException(
           s"graft_quantize: non-finite or long-overflowing value $d at index $i")
       java.math.BigDecimal.valueOf(d)

@@ -121,7 +121,10 @@ object Multimodal {
         val bb = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         bb.put('B'.toByte).put('M'.toByte)
         bb.position(18)
-        bb.putInt((text.length % 3000) + 1)
+        // CODE POINTS, not UTF-16 units: DuckDB's length(text) counts code
+        // points, and a supplementary character (emoji) would silently
+        // fork the two engines' widths under String.length
+        bb.putInt((text.codePointCount(0, text.length) % 3000) + 1)
         bb.putInt(
           if (id % 3 == 0) -((id % 2000).toInt + 1) else (id % 100000).toInt + 1)
         bb.array()

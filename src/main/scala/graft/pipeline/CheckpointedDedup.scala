@@ -70,11 +70,11 @@ object CheckpointedDedup {
         else {
           val t0 = System.nanoTime()
           val df = compute
-          val wall0 = (System.nanoTime() - t0) / 1000000L
-          val t1 = System.nanoTime()
-          TableIO.write(df, dir, name, hash, wall0, extra)
-          val wall = wall0 + (System.nanoTime() - t1) / 1000000L
-          StageResult(name, TableIO.read(spark, dir), recomputed = true, millis = wall)
+          // by-name wallMillis: evaluated after the materializing write,
+          // so the manifest records the FULL stage wall (plan + execution)
+          TableIO.write(df, dir, name, hash, (System.nanoTime() - t0) / 1000000L, extra)
+          StageResult(name, TableIO.read(spark, dir), recomputed = true,
+            millis = (System.nanoTime() - t0) / 1000000L)
         }
       stages += res
       res

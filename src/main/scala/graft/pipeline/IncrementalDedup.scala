@@ -144,25 +144,54 @@ object IncrementalDedup {
           s"DIFFERENT config than the supplied cfg ($cfg) — an increment must " +
           s"use the base run's exact shingle/signature/banding config")
 
+    // FAMILY tag: the cfg-derived chain tip (covers shingle/signature/
+    // banding/threshold config AND the base input fingerprint via h0).
+    // Every increment stage manifest records it, and prior increments must
+    // carry the SAME tag: validating only the base dir would miss a base
+    // rewritten in place under a new cfg, whose fresh manifests pass the
+    // chain check while the old increments still hold the old hash family
+    // (review r4) — exactly the silent family mix the gate exists to stop.
+    val family = CheckpointedDedup.chainFrom(baseDocs.configHash, cfg)
+      .toMap.apply("verified_pairs")
+
     // every prior increment must be committed (fail fast naming a partial
-    // one — see requireCommitted)
+    // one — see requireCommitted) AND belong to this config family
     val priorInc = committedIncDirs(baseDir)
+    for (inc <- priorInc) {
+      val fam = TableIO.readManifest(s"$inc/signatures").flatMap(_.extra.get("family"))
+      require(fam.contains(family),
+        s"increment at $inc was written under a DIFFERENT config family " +
+          s"(${fam.getOrElse("<none recorded>")} vs expected $family) — its " +
+          s"signatures cannot be unioned with this run's hash family")
+    }
     val k = priorInc.size + 1
-    val dir = s"$baseDir/inc-$k"
+    val finalDir = s"$baseDir/inc-$k"
+    // WRITE-THEN-RENAME commit: all stages land in inc-<k>.tmp (invisible
+    // to the strict inc-\d+ reader regex), renamed to inc-<k> only after
+    // the last stage — so a concurrent readAll/latest can never observe an
+    // IN-PROGRESS increment and mistake it for a crashed one (review r4:
+    // the PARTIAL error told operators to delete what might be a live
+    // run). A stale .tmp from a crashed run is simply overwritten.
+    val dir = s"$finalDir.tmp"
+    if (Files.exists(Paths.get(dir)))
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.delete(p))
 
     val oldDocs = readAll(spark, baseDir, "docs") // (id, url, text)
     val oldSigs = readAll(spark, baseDir, "signatures")
     val oldCand = latest(spark, baseDir, "candidates")
     val oldVerified = latest(spark, baseDir, "verified_pairs")
 
-    // -Dgraft.inc.verbose=true → per-stage wall (incl. the materializing
-    // write) on stdout; the manifest's wallMillis records the same number
+    // -Dgraft.inc.verbose=true → per-stage wall on stdout. The manifest's
+    // wallMillis is the same full wall: TableIO.write's by-name wallMillis
+    // parameter is evaluated AFTER the materializing data write.
     val verbose = java.lang.Boolean.getBoolean("graft.inc.verbose")
     def stage(name: String, salt: String)(compute: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val df = compute
       TableIO.write(df, s"$dir/$name", name, incHash(name, salt),
-        (System.nanoTime() - t0) / 1000000L)
+        (System.nanoTime() - t0) / 1000000L,
+        extra = Map("family" -> family))
       if (verbose)
         println(f"[inc] $name%-15s ${(System.nanoTime() - t0) / 1e9}%7.2f s (incl. write)")
       TableIO.read(spark, s"$dir/$name")
@@ -256,61 +285,87 @@ object IncrementalDedup {
     // 37 s of a 50 s increment on the text-heavy probe) for a pair set that
     // is O(new dups). The id prune keeps verify proportional to the work,
     // which is the whole point of the incremental path.
+    // toVerify is CACHED: the driver-side count below materializes it
+    // anyway, and it is otherwise re-evaluated (candidates anti-join and
+    // all) by the id-prune union and the verify join.
     val toVerify = candOut.join(oldCand.hint("shuffle_hash"), Seq("id_a", "id_b"), "left_anti")
-    // A shuffle-side prune still SHUFFLES the whole corpus-sized relation
-    // (Spark probes the build side during the big side's shuffle read) —
-    // on this VM's 3.2 ms-syscall path that shuffle IS the cost. When the
-    // unadjudicated pair set is provably small (one cheap count over the
-    // candidates parquet — pairs are O(new dups), not O(corpus)), the id
-    // set broadcasts EXPLICITLY, so the shingle/text relations are probed
-    // at scan time with no shuffle of the wide payloads at all. The
-    // shuffle_hash fallback covers the unbounded worst case (a degenerate
-    // increment that candidates half the corpus).
+      .cache()
     val nToVerify = toVerify.count()
     if (verbose) println(s"[inc] unadjudicated pairs to verify: $nToVerify")
-    // broadcast-vs-shuffle cutover for the id prune; overridable so tests
-    // can force the shuffle fallback (-Dgraft.inc.broadcastIdLimit=0)
-    val broadcastIdLimit =
-      java.lang.Long.getLong("graft.inc.broadcastIdLimit", 2000000L)
-    val vIds0 = toVerify.select(col("id_a").as("id"))
-      .union(toVerify.select(col("id_b").as("id")))
-      .distinct()
-    val vIds =
-      if (nToVerify <= broadcastIdLimit) broadcast(vIds0) else vIds0.hint("shuffle_hash")
     val unionDocsAll = oldDocs.unionByName(newDocsDf)
-    // docs of the unadjudicated pairs, CACHED: O(pairs) rows, referenced
-    // three times below (shingle re-derivation + both LCS text joins).
-    // Shingles for these docs are RE-DERIVED from their text instead of
-    // re-read from the base shingle checkpoint: shingling is a pure
-    // function of text, the LCS pass scans these texts anyway, and the
-    // checkpoint read was an O(corpus) scan+decode of the widest relation
-    // in the store for an O(new-dups) pair set (measured ~8 s of the
-    // text-heavy probe's verify stage). Re-hashing here is O(pairs) work —
-    // NOT a violation of the never-re-hash-old-text contract, which is
-    // about corpus-proportional cost.
-    val prunedDocs = unionDocsAll.join(vIds, "id").cache()
-    val prunedShingles = prunedDocs.select(col("id"), sh(col("text")).as("shingles"))
-    val newVerified = Dedup.withLcsColumn(
-      Dedup.verify(toVerify, prunedShingles, cfg), prunedDocs)
-    val verifiedOut = stage("verified_pairs", salt) {
-      oldVerified.unionByName(newVerified).dropDuplicates("id_a", "id_b")
-    }
-    prunedDocs.unpersist(blocking = false) // stage write materialized it
+    var verifyCaches: Seq[DataFrame] = Seq(toVerify)
+    // ZERO unadjudicated pairs — the common daily case — skips the entire
+    // verify sub-plan: building it anyway would explicitly broadcast an
+    // EMPTY long-keyed id relation, the exact phantom-broadcast shape this
+    // runtime accounts ~513 MiB for (evicting CC's localCheckpoint blocks
+    // in the clusters stage right after) — the repo's own documented trap.
+    val unionVerified =
+      if (nToVerify == 0) oldVerified
+      else {
+        // A shuffle-side prune still SHUFFLES the whole corpus-sized
+        // relation (Spark probes the build side during the big side's
+        // shuffle read) — on this VM's 3.2 ms-syscall path that shuffle IS
+        // the cost. The pair set is known small (counted above; pairs are
+        // O(new dups), not O(corpus)), so the id set broadcasts EXPLICITLY
+        // and the docs relation is probed at scan time with no shuffle of
+        // the wide payloads. The shuffle_hash fallback covers the
+        // unbounded worst case (a degenerate increment that candidates
+        // half the corpus); the cutover is overridable so tests can force
+        // the fallback (-Dgraft.inc.broadcastIdLimit=0).
+        val broadcastIdLimit =
+          java.lang.Long.getLong("graft.inc.broadcastIdLimit", 2000000L)
+        val vIds0 = toVerify.select(col("id_a").as("id"))
+          .union(toVerify.select(col("id_b").as("id")))
+          .distinct()
+        val vIds =
+          if (nToVerify <= broadcastIdLimit) broadcast(vIds0)
+          else vIds0.hint("shuffle_hash")
+        // docs of the unadjudicated pairs, CACHED: O(pairs) rows,
+        // referenced three times (shingle re-derivation + both LCS text
+        // joins). Shingles for these docs are RE-DERIVED from their text
+        // instead of re-read from the base shingle checkpoint: shingling
+        // is a pure function of text, the LCS pass scans these texts
+        // anyway, and the checkpoint read was an O(corpus) scan+decode of
+        // the widest relation in the store for an O(new-dups) pair set
+        // (measured ~8 s of the text-heavy probe's verify stage).
+        // Re-hashing here is O(pairs) work — NOT a violation of the
+        // never-re-hash-old-text contract, which is about
+        // corpus-proportional cost.
+        val prunedDocs = unionDocsAll.join(vIds, "id").cache()
+        verifyCaches :+= prunedDocs
+        val prunedShingles = prunedDocs.select(col("id"), sh(col("text")).as("shingles"))
+        val newVerified = Dedup.withLcsColumn(
+          Dedup.verify(toVerify, prunedShingles, cfg), prunedDocs)
+        oldVerified.unionByName(newVerified).dropDuplicates("id_a", "id_b")
+      }
+    val verifiedOut = stage("verified_pairs", salt)(unionVerified)
+    verifyCaches.foreach(_.unpersist(blocking = false)) // stage write materialized them
 
     // 6. clusters over every id + the union verified pairs
-    val clustersOut = stage("clusters", salt) {
+    stage("clusters", salt) {
       ConnectedComponents.run(
         unionDocsAll.select("id"), verifiedOut.select("id_a", "id_b"))
     }
 
     val nNew = TableIO.readManifest(s"$dir/docs").map(_.rows).getOrElse(0L)
     val nVerified = TableIO.readManifest(s"$dir/verified_pairs").map(_.rows).getOrElse(0L)
+
+    // COMMIT: every stage is now materialized under inc-<k>.tmp — one
+    // directory rename publishes the whole increment. Readers either see
+    // the complete inc-<k> or nothing. The report's DataFrames are
+    // re-opened from the FINAL path (the tmp-path readers above die with
+    // the rename).
+    Files.move(Paths.get(dir), Paths.get(finalDir))
+
     // metrics row appended to the run history (same table the base run uses)
     import spark.implicits._
     Seq((s"inc-$k", nNew, nVerified, salt))
       .toDF("stage", "new_docs", "verified_pairs", "salt")
       .withColumn("recomputed", lit(true))
       .write.mode("append").parquet(s"$baseDir/metrics_inc")
-    IncReport(clustersOut, verifiedOut, dir, nNew, nVerified)
+    IncReport(
+      TableIO.read(spark, s"$finalDir/clusters"),
+      TableIO.read(spark, s"$finalDir/verified_pairs"),
+      finalDir, nNew, nVerified)
   }
 }

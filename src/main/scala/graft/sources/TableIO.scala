@@ -58,7 +58,10 @@ object TableIO {
       dir: String,
       stage: String,
       configHash: String,
-      wallMillis: Long,
+      // BY-NAME: evaluated after the data write below, so a caller passing
+      // `(System.nanoTime() - t0) / 1000000L` records the FULL stage wall
+      // including materialization — not just lazy plan construction
+      wallMillis: => Long,
       extra: Map[String, String] = Map.empty): Manifest = {
     val spark = df.sparkSession
     val dataDir = s"$dir/data"

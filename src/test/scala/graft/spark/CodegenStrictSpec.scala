@@ -166,6 +166,18 @@ class CodegenStrictSpec extends AnyFunSuite {
       (r.getSeq[Long](0), r.getSeq[Long](1))
     }
     assert(kq2 == tq2)
+    // exact Long.MinValue boundary: ANSI cast ACCEPTS −2^63 (it IS
+    // Long.MinValue) while 2^63 overflows — the kernel's negative guard
+    // must be strict or it throws where the reference tree returns a value
+    val edge = Seq(Tuple1(Array(-9.223372036854776e18, 1.5, -1.5))).toDF("v")
+    val (ek, et) = strictCodegen {
+      val r = edge.select(
+        call_function("graft_quantize", col("v"), lit(1L)).as("k"),
+        graft.functions.GraftFunctions.quantize(col("v"), 1).as("t"))
+        .collect().head
+      (r.getSeq[Long](0), r.getSeq[Long](1))
+    }
+    assert(ek == et && ek.head == Long.MinValue)
     // non-finite input: ANSI casts throw on the tree; the kernel must too
     Seq(Float.NaN, Float.PositiveInfinity, 1e30f).foreach { bad =>
       val e = intercept[Exception] {

@@ -104,7 +104,8 @@ class MultimodalSpec extends AnyFunSuite {
       if (id % 7 == 0) assert(parsed.isEmpty, s"id=$id should be unparseable")
       else if (id % 2 == 0) {
         val h = parsed.get
-        assert(h.format == "bmp" && h.width == (text.length % 3000) + 1)
+        assert(h.format == "bmp" &&
+          h.width == (text.codePointCount(0, text.length) % 3000) + 1)
         val wantH =
           if (id % 3 == 0) -((id % 2000).toInt + 1) else (id % 100000).toInt + 1
         assert(h.height == wantH, s"id=$id height")
@@ -124,5 +125,10 @@ class MultimodalSpec extends AnyFunSuite {
       expect(id, longText)
       expect(id, "")
     }
+    // width counts CODE POINTS like DuckDB's length(): a supplementary
+    // char (2 UTF-16 units, 1 code point) must count once
+    val emoji = "a😀b" // 4 UTF-16 units, 3 code points
+    val h = Multimodal.Headers.parse(Multimodal.SyntheticMedia.bytes(2L, emoji)).get
+    assert(h.width == 4, s"expected codePointCount(3)+1, got ${h.width}")
   }
 }
