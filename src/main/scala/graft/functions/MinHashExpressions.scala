@@ -101,10 +101,6 @@ object GraftExpressions {
   private def lit2Int(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
   private def lit2Long(e: Expression): Long = e.eval().asInstanceOf[Number].longValue()
   private def lit2Str(e: Expression): String = e.eval().toString
-  private def lit2StrSeq(e: Expression): Seq[String] = {
-    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
-  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -163,10 +159,12 @@ object GraftExpressions {
       "graft_hamming_sum",
       exprs => HammingSumExpr(exprs(0), exprs(1)),
       "built-in")
-    // lexicon = plan-time literal array of words
+    // lexicon = plan-time literal array of words (foldability is checked by
+    // the expression's own type check — an analysis error, not a builder
+    // crash, when a column is passed; ADVICE r4)
     registry.createOrReplaceTempFunction(
       "graft_lex_count",
-      exprs => LexCountExpr(exprs(0), lit2StrSeq(exprs(1))),
+      exprs => LexCountExpr(exprs(0), exprs(1)),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_len_sum",

@@ -343,15 +343,37 @@ case class HammingSumExpr(left: Expression, right: Expression)
   * `size(filter(ws, w => array_contains(lex, w)))`, which runs interpreted
   * per doc (one boxed lambda call per token: a CPU multiplier over a
   * 100 TB corpus). Same integer for any input, so the q_quality/q_lang_id
-  * oracles are untouched. */
-case class LexCountExpr(child: Expression, lexicon: Seq[String]) extends UnaryExpression {
-  private val lexSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+  * oracles are untouched.
+  *
+  * The lexicon is a SECOND EXPRESSION CHILD checked for foldability at
+  * analysis time: the r4 form eval()'d it at function-registration time, so
+  * a non-literal lexicon (a column) threw an opaque ClassCastException with
+  * no row context instead of a clear analysis error (ADVICE r4). */
+case class LexCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+  // built once per (deserialized) instance, after analysis guarantees the
+  // lexicon folds; membership is tested on UTF8String directly (no decode)
+  @transient private lazy val lexSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
     val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-    lexicon.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    val arr = right.eval().asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).clone())
+      i += 1
+    }
     s
   }
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      right.dataType match {
+        case ArrayType(org.apache.spark.sql.types.StringType, _) if right.foldable =>
+          TypeCheckResult.TypeCheckSuccess
+        case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+          TypeCheckResult.TypeCheckFailure(
+            "graft_lex_count requires a plan-time LITERAL lexicon (a foldable " +
+              "array<string>); got a non-foldable expression")
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_lex_count lexicon must be array<string>, got $other")
+      }
     case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
   }
   override def dataType: DataType = LongType
@@ -364,14 +386,18 @@ case class LexCountExpr(child: Expression, lexicon: Seq[String]) extends UnaryEx
     while (i < parts.length) { if (lexSet.contains(parts(i))) n += 1; i += 1 }
     n
   }
-  override def nullSafeEval(input: Any): Any =
-    count(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  // the lexicon is foldable and already folded into lexSet — a null text is
+  // the only null that matters (BinaryExpression would null out on a null
+  // lexicon literal too, which is the sane contract)
+  override def nullSafeEval(text: Any, lex: Any): Any =
+    count(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lexCountExpr", this, classOf[LexCountExpr].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+    defineCodeGen(ctx, ev, (c, _) => s"$ref.count($c)")
   }
-  override protected def withNewChildInternal(newChild: Expression): LexCountExpr =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LexCountExpr =
+    copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_lex_count"
 }
 

@@ -68,23 +68,37 @@ object IncrementalDedup {
   private[pipeline] val Stages =
     Seq("docs", "shingles", "signatures", "candidates", "verified_pairs", "clusters")
 
-  /** Committed increment directories, in order. STRICT `inc-<int>` name
-    * match — a stray `inc-1.bak` backup must be ignored, not brick every
-    * subsequent read with a NumberFormatException (ADVICE r3). */
-  private def incDirs(baseDir: String): Seq[String] = {
+  /** Committed increment directories with their numbers, in order. STRICT
+    * `inc-<int>` name match — a stray `inc-1.bak` backup must be ignored, not
+    * brick every subsequent read with a NumberFormatException (ADVICE r3).
+    * The numbering must be GAP-FREE 1..k: a deleted middle increment would
+    * silently drop its docs from readAll while the latest pair/cluster
+    * tables still reference those ids (ADVICE r4) — fail fast naming the
+    * missing increment instead. */
+  private def numberedIncDirs(baseDir: String): Seq[(Int, String)] = {
     val strict = "^inc-(\\d+)$".r
     val base = Paths.get(baseDir)
-    if (!Files.exists(base)) Seq.empty
-    else {
-      val it = Files.list(base)
-      try it.iterator().asScala.toSeq
-        .map(_.getFileName.toString)
-        .collect { case n @ strict(k) => (k.toInt, n) }
-        .sortBy(_._1)
-        .map { case (_, n) => s"$baseDir/$n" }
-      finally it.close()
+    val found =
+      if (!Files.exists(base)) Seq.empty
+      else {
+        val it = Files.list(base)
+        try it.iterator().asScala.toSeq
+          .map(_.getFileName.toString)
+          .collect { case n @ strict(k) => (k.toInt, s"$baseDir/$n") }
+          .sortBy(_._1)
+        finally it.close()
+      }
+    found.map(_._1).zipWithIndex.foreach { case (num, idx) =>
+      require(num == idx + 1,
+        s"increment sequence at $baseDir has a GAP: inc-${idx + 1} is missing " +
+          s"but inc-$num exists — its docs would silently vanish from readAll " +
+          s"while pair/cluster tables still reference their ids; restore " +
+          s"inc-${idx + 1} or rebuild from the base run")
     }
+    found
   }
+
+  private def incDirs(baseDir: String): Seq[String] = numberedIncDirs(baseDir).map(_._2)
 
   /** An increment is COMMITTED only if every stage has a manifest (the
     * manifest is each stage's atomic last write). A crash mid-increment
@@ -164,18 +178,22 @@ object IncrementalDedup {
           s"(${fam.getOrElse("<none recorded>")} vs expected $family) — its " +
           s"signatures cannot be unioned with this run's hash family")
     }
-    val k = priorInc.size + 1
+    // k = max existing number + 1, NOT count + 1: the gap check above makes
+    // them equal today, but max+1 stays correct the moment the sequence rule
+    // ever changes, and never collides with a surviving higher-numbered dir
+    // (ADVICE r4)
+    val k = numberedIncDirs(baseDir).map(_._1).maxOption.getOrElse(0) + 1
     val finalDir = s"$baseDir/inc-$k"
-    // WRITE-THEN-RENAME commit: all stages land in inc-<k>.tmp (invisible
-    // to the strict inc-\d+ reader regex), renamed to inc-<k> only after
-    // the last stage — so a concurrent readAll/latest can never observe an
-    // IN-PROGRESS increment and mistake it for a crashed one (review r4:
-    // the PARTIAL error told operators to delete what might be a live
-    // run). A stale .tmp from a crashed run is simply overwritten.
-    val dir = s"$finalDir.tmp"
-    if (Files.exists(Paths.get(dir)))
-      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.delete(p))
+    // WRITE-THEN-RENAME commit: all stages land in a UNIQUELY-NAMED tmp dir
+    // (invisible to the strict inc-\d+ reader regex), renamed to inc-<k>
+    // only after the last stage — so a concurrent readAll/latest can never
+    // observe an IN-PROGRESS increment and mistake it for a crashed one.
+    // The nonce makes the staging dir private to THIS run: with a fixed
+    // inc-<k>.tmp, two concurrent writers computing the same k would each
+    // delete-then-write the same directory and the winner could publish a
+    // dir containing stages from both runs (ADVICE r4). Losing the final
+    // rename race now fails loudly instead of corrupting.
+    val dir = s"$finalDir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
 
     val oldDocs = readAll(spark, baseDir, "docs") // (id, url, text)
     val oldSigs = readAll(spark, baseDir, "signatures")
@@ -350,11 +368,23 @@ object IncrementalDedup {
     val nNew = TableIO.readManifest(s"$dir/docs").map(_.rows).getOrElse(0L)
     val nVerified = TableIO.readManifest(s"$dir/verified_pairs").map(_.rows).getOrElse(0L)
 
-    // COMMIT: every stage is now materialized under inc-<k>.tmp — one
-    // directory rename publishes the whole increment. Readers either see
-    // the complete inc-<k> or nothing. The report's DataFrames are
+    // COMMIT: every stage is now materialized under the private tmp dir —
+    // one directory rename publishes the whole increment. Readers either
+    // see the complete inc-<k> or nothing. The report's DataFrames are
     // re-opened from the FINAL path (the tmp-path readers above die with
-    // the rename).
+    // the rename). A rename target that already exists means another
+    // writer committed inc-<k> first — a LOST RACE, reported as such (the
+    // increment must be re-run so it deduplicates against the winner's
+    // docs; blindly retrying with k+1 would re-add them).
+    if (Files.exists(Paths.get(finalDir))) {
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.delete(p))
+      throw new IllegalStateException(
+        s"lost increment commit race: $finalDir was published by a concurrent " +
+          s"run while this one was computing; re-run this increment (it must " +
+          s"be recomputed against the newly committed state, not renamed to " +
+          s"inc-${k + 1})")
+    }
     Files.move(Paths.get(dir), Paths.get(finalDir))
 
     // metrics row appended to the run history (same table the base run uses)

@@ -259,6 +259,27 @@ class CodegenStrictSpec extends AnyFunSuite {
     nulls.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1) && r.isNullAt(0), r.toString))
   }
 
+  test("graft_lex_count with a NON-LITERAL lexicon is a clear analysis error") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    // a column lexicon used to blow up inside the function builder's eval()
+    // with a contextless ClassCastException/NPE (ADVICE r4) — it must be an
+    // analysis error naming the function and the literal requirement
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("the cat", Array("the"))).toDF("t", "lex")
+        .select(call_function("graft_lex_count", col("t"), col("lex")))
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_lex_count") && e.getMessage.contains("LITERAL"))
+    // wrong lexicon type is equally clear
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("t")
+        .select(call_function("graft_lex_count", col("t"), array(lit(1L))))
+        .collect()
+    }
+    assert(e2.getMessage.contains("array<string>"))
+  }
+
   test("md5-minhash lane count above MaxLanes fails at PLAN time, not per-row") {
     import spark.implicits._
     graft.functions.GraftExpressions.register(spark)

@@ -159,6 +159,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.readAll(spark, dir, "docs").count() == 60L)
   }
 
+  test("a deleted MIDDLE increment is a gap, not a silent doc drop") {
+    val all = PagesGen.pages(spark, 90L, seed = 29L, partitions = 4)
+    val dir = tmp("graft-inc-gap")
+    CheckpointedDedup.run(spark, all.where(col("id") % 3 === 0).drop("id"), cfg, dir)
+    IncrementalDedup.run(spark, all.where(col("id") % 3 === 1).drop("id"), cfg, dir)
+    IncrementalDedup.run(spark, all.where(col("id") % 3 === 2).drop("id"), cfg, dir)
+    // operator deletes the middle increment (e.g. following a stale runbook)
+    val inc1 = java.nio.file.Paths.get(s"$dir/inc-1")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(inc1).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    // every read AND the next run must fail fast naming the missing inc —
+    // inc-1's docs would otherwise vanish from readAll while inc-2's
+    // pair/cluster tables still reference their ids
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.readAll(spark, dir, "docs").count()
+    }
+    assert(e.getMessage.contains("GAP") && e.getMessage.contains("inc-1"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, all.limit(1).drop("id"), cfg, dir)
+    }
+    assert(e2.getMessage.contains("inc-1"))
+  }
+
   test("shuffle fallback of the verify id-prune matches the broadcast path") {
     // -Dgraft.inc.broadcastIdLimit=0 forces the unbounded-id-set fallback
     // (shuffle_hash prune); output must be identical to the broadcast path
