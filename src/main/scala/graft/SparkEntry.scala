@@ -113,6 +113,7 @@ object SparkEntry {
   private def jaccardPairsBy(
       d: DataFrame, threshold: Double, shingles: Column => Column,
       dfCap: Option[Long] = None): DataFrame = {
+    graft.functions.GraftExpressions.register(d.sparkSession)
     val shAll = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
     val sh = dfCap match {
       case Some(cap) =>
@@ -149,7 +150,8 @@ object SparkEntry {
     * oracle query (q_ngram_jaccard_pairs). */
   def ngramJaccardPairs(d: DataFrame, threshold: Double, dfCap: Long = 10000L): DataFrame =
     jaccardPairsBy(d, threshold,
-      GraftFunctions.shingleHashesUdf(3, lshConfig.seed)(_), dfCap = Some(dfCap))
+      call_function("graft_shingle_hashes", _, lit(3), lit(lshConfig.seed)),
+      dfCap = Some(dfCap))
 
   /** Flagship: LSH near-duplicate pairs on the smoke corpus; driver checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -250,7 +252,7 @@ object SparkEntry {
     }),
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       jaccardPairsBy(docs(s, dir), 0.05,
-        GraftFunctions.shingleHashesUdf(3, lshConfig.seed)(_))),
+        call_function("graft_shingle_hashes", _, lit(3), lit(lshConfig.seed)))),
     "q_chargram_jaccard_pairs" -> ((s, dir) =>
       // char-5-gram shingles (the reference's MinHash input is ANY symbol
       // set, minhash.jl:146-170; north star: "character/word shingles").
@@ -258,7 +260,8 @@ object SparkEntry {
       // word-trigram form (q_ngram, left uncapped as the exact oracle)
       // would need at real scale — VERDICT r1 What's wrong #6.
       jaccardPairsBy(docs(s, dir), 0.5,
-        GraftFunctions.charShingleHashesUdf(5, lshConfig.seed)(_), dfCap = Some(50L))),
+        call_function("graft_char_shingle_hashes", _, lit(5), lit(lshConfig.seed)),
+        dfCap = Some(50L))),
     // ------------------------------------------------------------ LSH dedup
     "q_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(docsAsCorpus(s, dir), lshConfig)

@@ -70,11 +70,15 @@ object GraftFunctions extends Serializable {
     distinct
   }
 
-  /** word-n-gram shingle hash set as a Column. */
+  /** word-n-gram shingle hash set as a Column — REFERENCE form only since
+    * round 5: the pipeline uses the codegen `graft_shingle_hashes`
+    * expression (ShingleHashesExpr), pinned equal by CodegenStrictSpec. */
   def shingleHashesUdf(n: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) =>
       if (text == null) Array.empty[Long] else wordNgramHashSet(text, n, seed))
 
+  /** Char-n-gram twin of [[shingleHashesUdf]] — REFERENCE form only
+    * (pipeline: `graft_char_shingle_hashes`). */
   def charShingleHashesUdf(n: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) =>
       if (text == null) Array.empty[Long] else shingleHashSet(charNgrams(text, n), seed))
@@ -104,7 +108,8 @@ object GraftFunctions extends Serializable {
   }
 
   /** Exact Jaccard on two sorted-distinct shingle-hash arrays — the
-    * verify-stage ground truth (J(∅,∅)=0, similarities.jl:230-238). */
+    * verify-stage ground truth (J(∅,∅)=0, similarities.jl:230-238).
+    * REFERENCE form only (pipeline: codegen `graft_jaccard_sorted`). */
   val jaccardSortedUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Array[Long], b: Array[Long]) =>
       if (a == null || b == null) 0.0 else Similarities.jaccardSorted(a, b))

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import graft.core.Rng
@@ -41,6 +42,38 @@ object MinHashKernel {
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Word-n-gram shingle hash set from raw text (null → empty set, like the
+    * UDF form it replaces — a null-text doc must still produce a row with an
+    * empty shingle set, not a null that poisons downstream columns). */
+  def wordShingleHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, seed: Long): ArrayData =
+    if (text == null) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(GraftFunctions.wordNgramHashSet(text.toString, n, seed))
+
+  /** Character-n-gram shingle hash set from raw text (null → empty set). */
+  def charShingleHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, seed: Long): ArrayData =
+    if (text == null) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(
+      GraftFunctions.shingleHashSet(GraftFunctions.charNgrams(text.toString, n), seed))
+
+  /** Exact Jaccard over two sorted-distinct hash arrays, directly on
+    * ArrayData (verify-stage ground truth; same merge as
+    * Similarities.jaccardSorted, J(∅,∅)=0; null input → 0.0 like the UDF). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    if (a == null || b == null) return 0.0
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
   /** LSH band hashes from a k-lane signature (k = b·r). */
@@ -95,6 +128,109 @@ case class BandHashesExpr(child: Expression, b: Int, r: Int, seed: Long)
   override def prettyName: String = "graft_band_hashes"
 }
 
+/** graft_shingle_hashes(text, n, seed) / graft_char_shingle_hashes: the
+  * corpus-wide text → shingle-hash-set projection as a native codegen
+  * expression — the LAST per-row UDF on the 100 TB signature path (VERDICT
+  * r4 What's wrong #2). NOT null-propagating: null text → empty set, the
+  * UDF contract the whole pipeline (and its checkpoints) was built on. */
+case class ShingleHashesExpr(child: Expression, n: Int, seed: Long, charMode: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(s"n must be ≥ 1, got $n")
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  private def kernel: String = if (charMode) "charShingleHashes" else "wordShingleHashes"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    if (charMode) MinHashKernel.charShingleHashes(t, n, seed)
+    else MinHashKernel.wordShingleHashes(t, n, seed)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.MinHashKernel.$kernel(
+            ${c.isNull} ? null : ${c.value}, $n, ${seed}L);
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String =
+    if (charMode) "graft_char_shingle_hashes" else "graft_shingle_hashes"
+}
+
+/** graft_jaccard_sorted(a, b): exact Jaccard of two sorted-distinct hash
+  * arrays — the per-pair verify kernel as a codegen expression (null input
+  * → 0.0, J(∅,∅)=0, matching the UDF it replaces). */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def check(dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = check(left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else check(right.dataType)
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input).asInstanceOf[ArrayData]
+    val b = right.eval(input).asInstanceOf[ArrayData]
+    MinHashKernel.jaccardSorted(a, b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val code =
+      code"""
+        ${a.code}
+        ${b.code}
+        boolean ${ev.isNull} = false;
+        double ${ev.value} = graft.functions.MinHashKernel.jaccardSorted(
+          ${a.isNull} ? null : ${a.value}, ${b.isNull} ? null : ${b.value});
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaccard_sorted"
+}
+
+/** graft_lcs_len(a, b): longest-common-substring length via the radix
+  * suffix array (core.SuffixArray) — per verified PAIR, not per corpus row,
+  * so the win is uniformity (a UDF-free pipeline), not CPU. Null-propagating
+  * (unreachable in the pipeline: null-text docs have empty shingle sets and
+  * never pass the Jaccard threshold). */
+case class LcsLenExpr(left: Expression, right: Expression) extends BinaryExpression {
+  private def check(dt: DataType): TypeCheckResult = dt match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = check(left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else check(right.dataType)
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.SuffixArray.lcsLength(a.toString, b.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.core.SuffixArray.lcsLength($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LcsLenExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_lcs_len"
+}
+
 /** Session registration so the expressions are reachable from the Column API
   * (via call_function) and SQL. Idempotent. */
 object GraftExpressions {
@@ -111,6 +247,24 @@ object GraftExpressions {
     registry.createOrReplaceTempFunction(
       "graft_band_hashes",
       exprs => BandHashesExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2)), lit2Long(exprs(3))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0), lit2Int(exprs(1)), lit2Long(exprs(2)),
+        charMode = false),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_char_shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0), lit2Int(exprs(1)), lit2Long(exprs(2)),
+        charMode = true),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_jaccard_sorted",
+      exprs => JaccardSortedExpr(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_lcs_len",
+      exprs => LcsLenExpr(exprs(0), exprs(1)),
       "built-in")
     // 3-arg form = offset 0; 4-arg form = (v, tag, off, n) for multi-table
     // plane layouts (table t reads global planes [t·b, (t+1)·b))

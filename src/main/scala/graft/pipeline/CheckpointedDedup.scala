@@ -2,8 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Rng, SuffixArray}
-import graft.functions.GraftFunctions
+import graft.core.Rng
 import graft.sources.TableIO
 
 /** The full resumable pipeline over a `pages` table (SURVEY.md §3.2):
@@ -105,18 +104,19 @@ object CheckpointedDedup {
     }
 
     val chain = chainFrom(h0, cfg).toMap
+    // codegen shingle/signature kernels (same values as the round-1..4 UDF
+    // forms — checkpoints written by either stay valid)
+    graft.functions.GraftExpressions.register(spark)
     val h1 = chain("shingles")
     val shinglesStage = stage("shingles", h1) {
-      val sh =
-        if (cfg.charShingles > 0) GraftFunctions.charShingleHashesUdf(cfg.charShingles, cfg.seed)
-        else GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
-      docsStage.df.select(col("id"), sh(col("text")).as("shingles"))
+      docsStage.df.select(col("id"), Dedup.shingleHashes(cfg)(col("text")).as("shingles"))
     }
 
     val h2 = chain("signatures")
     val signaturesStage = stage("signatures", h2) {
-      val mh = GraftFunctions.minhashSigUdf(cfg.numHashes, cfg.seed)
-      shinglesStage.df.select(col("id"), mh(col("shingles")).as("sig"))
+      shinglesStage.df.select(col("id"),
+        call_function("graft_minhash_sig",
+          col("shingles"), lit(cfg.numHashes), lit(cfg.seed)).as("sig"))
     }
 
     val h3 = chain("candidates")
@@ -144,17 +144,11 @@ object CheckpointedDedup {
 
     val h4 = chain("verified_pairs")
     val verifiedStage = stage("verified_pairs", h4) {
-      val jac = Dedup.verify(candidatesStage.df, shinglesStage.df, cfg)
-      // suffix-array longest-common-substring pass for long exact overlaps
-      // (north rule): per-pair SA on executors, only for pairs already past
-      // the exact-Jaccard threshold
-      val texts = docsStage.df.select(col("id"), col("text"))
-      val lcsUdf = udf((a: String, b: String) => SuffixArray.lcsLength(a, b))
-      jac
-        .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-        .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-        .select(col("id_a"), col("id_b"), col("jaccard"),
-          lcsUdf(col("text_a"), col("text_b")).cast("int").as("lcs_len"))
+      // exact Jaccard + suffix-array longest-common-substring pass for long
+      // exact overlaps (north rule): per-pair SA on executors, only for
+      // pairs already past the exact-Jaccard threshold
+      Dedup.withLcsColumn(
+        Dedup.verify(candidatesStage.df, shinglesStage.df, cfg), docsStage.df)
     }
 
     val h5 = chain("clusters")

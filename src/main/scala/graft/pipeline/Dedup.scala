@@ -59,15 +59,21 @@ final case class DedupConfig(
   */
 object Dedup {
 
+  /** The text → shingle-hash-set projection as a codegen Column (the last
+    * per-row UDF on the corpus-wide path until round 5 — VERDICT r4). */
+  def shingleHashes(cfg: DedupConfig)(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (cfg.charShingles > 0)
+      call_function("graft_char_shingle_hashes", text, lit(cfg.charShingles), lit(cfg.seed))
+    else call_function("graft_shingle_hashes", text, lit(cfg.shingleWords), lit(cfg.seed))
+
   /** Stage SHINGLE+SIGNATURE: id, shingles (sorted distinct hashes), sig.
-    * The signature runs as a native codegen Expression (no UDF boxing). */
+    * Both projections run as native codegen Expressions (no UDF boxing);
+    * within one whole-stage-codegen Project the shingle array is computed
+    * once and shared by the sig column (subexpression elimination). */
   def signatures(docs: DataFrame, cfg: DedupConfig): DataFrame = {
     graft.functions.GraftExpressions.register(docs.sparkSession)
-    val sh =
-      if (cfg.charShingles > 0) GraftFunctions.charShingleHashesUdf(cfg.charShingles, cfg.seed)
-      else GraftFunctions.shingleHashesUdf(cfg.shingleWords, cfg.seed)
     docs
-      .select(col("id"), sh(col("text")).as("shingles"))
+      .select(col("id"), shingleHashes(cfg)(col("text")).as("shingles"))
       .withColumn("sig",
         call_function("graft_minhash_sig", col("shingles"), lit(cfg.numHashes), lit(cfg.seed)))
   }
@@ -225,6 +231,7 @@ object Dedup {
     * to the shingle sets by doc id (sort-merge at scale; the shingles relation
     * is reused from the signature stage, so cache/checkpoint it upstream). */
   def verify(candidates: DataFrame, shingles: DataFrame, cfg: DedupConfig): DataFrame = {
+    graft.functions.GraftExpressions.register(candidates.sparkSession)
     // CORPUS-sized sides with heavy array payloads, but their narrow cached
     // projection makes the planner's estimate tiny → it broadcast them
     // (seen in PLANS.md r3: BroadcastExchange of (id, shingles) — unbounded
@@ -238,7 +245,7 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        GraftFunctions.jaccardSortedUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+        call_function("graft_jaccard_sorted", col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= cfg.threshold)
   }
 
@@ -301,13 +308,13 @@ object Dedup {
   }
 
   private[pipeline] def withLcsColumn(verified: DataFrame, docs: DataFrame): DataFrame = {
+    graft.functions.GraftExpressions.register(verified.sparkSession)
     val texts = docs.select(col("id"), col("text"))
-    val lcsUdf = udf((a: String, b: String) => graft.core.SuffixArray.lcsLength(a, b))
     verified
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("jaccard"),
-        lcsUdf(col("text_a"), col("text_b")).cast("int").as("lcs_len"))
+        call_function("graft_lcs_len", col("text_a"), col("text_b")).as("lcs_len"))
   }
 
   /** Verified pairs with the suffix-array longest-common-substring column

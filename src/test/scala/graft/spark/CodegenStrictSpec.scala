@@ -259,6 +259,68 @@ class CodegenStrictSpec extends AnyFunSuite {
     nulls.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1) && r.isNullAt(0), r.toString))
   }
 
+  test("graft_shingle_hashes / graft_char_shingle_hashes compile strictly and match the UDF kernels") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val texts = Seq(text, "", "one two", "a b c d e", "über ünï gram tok", null)
+    val rows = strictCodegen {
+      texts.toDF("t").select(
+        call_function("graft_shingle_hashes", col("t"), lit(3), lit(42L)).as("w"),
+        call_function("graft_char_shingle_hashes", col("t"), lit(5), lit(42L)).as("c"),
+        col("t"))
+        .collect()
+    }
+    rows.foreach { r =>
+      val t = r.getString(2)
+      val wantW: Seq[Long] =
+        if (t == null) Seq.empty
+        else graft.functions.GraftFunctions.wordNgramHashSet(t, 3, 42L).toSeq
+      val wantC: Seq[Long] =
+        if (t == null) Seq.empty
+        else graft.functions.GraftFunctions.shingleHashSet(
+          graft.functions.GraftFunctions.charNgrams(t, 5), 42L).toSeq
+      // null text → EMPTY set, never a null array (the UDF contract the
+      // whole signature pipeline and its checkpoints rely on)
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getSeq[Long](0) == wantW && r.getSeq[Long](1) == wantC, s"text=$t")
+    }
+  }
+
+  test("graft_jaccard_sorted compiles strictly and matches the UDF kernel incl. null → 0.0") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val a = shingles.distinct.sorted
+    val b = (shingles.take(20) ++ Array.fill(15)(rnd.nextLong())).distinct.sorted
+    val cases = Seq(
+      (a, b), (a, a), (Array.empty[Long], Array.empty[Long]),
+      (a, Array.empty[Long]), (null: Array[Long], a), (a, null: Array[Long]))
+    val rows = strictCodegen {
+      cases.toDF("a", "b")
+        .select(call_function("graft_jaccard_sorted", col("a"), col("b")))
+        .collect()
+    }
+    rows.zip(cases).foreach { case (r, (x, y)) =>
+      val want =
+        if (x == null || y == null) 0.0 else graft.core.Similarities.jaccardSorted(x, y)
+      assert(!r.isNullAt(0) && r.getDouble(0) == want, s"case ($x, $y)")
+    }
+  }
+
+  test("graft_lcs_len compiles strictly and matches SuffixArray.lcsLength") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val cases = Seq(
+      ("the quick brown fox", "a quick brown dog"),
+      ("", "x"), ("abab", "baba"), ("ünïcode overlap zone", "overlap zone ünïcode"))
+    val rows = strictCodegen {
+      cases.toDF("a", "b")
+        .select(call_function("graft_lcs_len", col("a"), col("b")), col("a"), col("b"))
+        .collect()
+    }
+    rows.foreach(r => assert(
+      r.getInt(0) == graft.core.SuffixArray.lcsLength(r.getString(1), r.getString(2))))
+  }
+
   test("graft_lex_count with a NON-LITERAL lexicon is a clear analysis error") {
     import spark.implicits._
     graft.functions.GraftExpressions.register(spark)
