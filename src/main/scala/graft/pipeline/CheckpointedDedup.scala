@@ -136,8 +136,8 @@ object CheckpointedDedup {
         "saltWindow" -> cfg.saltWindow.toString)
       val base = Dedup.candidatesFromCensus(bandsDf, censusDf, cfg)
       if (cfg.saltWindow > 0 && stats.getLong(0) > 0)
-        base.union(Dedup.saltedHotPairs(bandsDf, censusDf, signaturesStage.df, cfg))
-          .dropDuplicates("id_a", "id_b")
+        Dedup.dedupPairs(
+          base.union(Dedup.saltedHotPairs(bandsDf, censusDf, signaturesStage.df, cfg)))
       else base
     }
     if (censusDf != null) censusDf.unpersist(blocking = false)

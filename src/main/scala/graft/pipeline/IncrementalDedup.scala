@@ -284,15 +284,14 @@ object IncrementalDedup {
       .select(
         least(col("id_o"), col("id_n")).as("id_a"),
         greatest(col("id_o"), col("id_n")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     val unionCand =
       if (cfg.saltWindow > 0 && hot > 0)
         // hot buckets are rare and gated: the salted path still runs over
         // the union (its window pairing is not decomposable per increment)
-        oldCand.unionByName(newInvolving)
-          .union(Dedup.saltedHotPairs(bandsDf, census, unionSigs, cfg))
-          .dropDuplicates("id_a", "id_b")
-      else oldCand.unionByName(newInvolving).dropDuplicates("id_a", "id_b")
+        Dedup.dedupPairs(
+          oldCand.unionByName(newInvolving)
+            .union(Dedup.saltedHotPairs(bandsDf, census, unionSigs, cfg)))
+      else Dedup.dedupPairs(oldCand.unionByName(newInvolving))
     val candOut = stage("candidates", salt)(unionCand)
     census.unpersist(blocking = false)
 
