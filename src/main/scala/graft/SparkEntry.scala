@@ -90,7 +90,7 @@ object SparkEntry {
 
   /** documents with the pipeline's (id, text) contract. (NOT repartitioned:
     * at sf0.1 the repartition exchange + 32-task churn measured SLOWER than
-    * the single-task signature fill it parallelizes — the CLAUDE.md "~3 s of
+    * the single-task signature fill it parallelizes — BENCH/BASELINE.md's "~3 s of
     * compute per exchange" threshold; multi-file production inputs
     * parallelize at the scan.) */
   private def docsAsCorpus(s: SparkSession, dir: String): DataFrame =
@@ -347,7 +347,11 @@ object SparkEntry {
       // bits from count(*) the same way).
       graft.functions.GraftExpressions.register(s)
       val emb = tbl(s, dir, "embeddings")
-      val b = Planes.bitsForCorpus(emb.count(), Planes.AnnTargetBucket)
+      // corpus count from parquet FOOTERS (driver-side metadata read, no
+      // job) — the oracle still recomputes the same integer from count(*)
+      val b = Planes.bitsForCorpus(
+        graft.sources.TableIO.rowCount(s, s"$dir/embeddings.parquet"),
+        Planes.AnnTargetBucket)
       val e = emb.select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
       // per-table packed sign bits via the native codegen kernel (one fused
       // loop per table over planes [t·b, (t+1)·b) — no 64-bit packing cap,
@@ -398,7 +402,9 @@ object SparkEntry {
       // shape, and tables > 1 only engages beyond ~2^12·32 vectors).
       graft.functions.GraftExpressions.register(s)
       val emb = tbl(s, dir, "embeddings")
-      val qb = math.min(12, Planes.bitsForCorpus(emb.count(), Planes.AnnTargetBucket))
+      val qb = math.min(12, Planes.bitsForCorpus(
+        graft.sources.TableIO.rowCount(s, s"$dir/embeddings.parquet"),
+        Planes.AnnTargetBucket))
       val e = emb.select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
       SignAlshRetrieval
         .topK(e, SignAlshRetrieval.MipsPlan(1, 16, qb), col("vec_id") < 5, 10)

@@ -15,13 +15,19 @@ import graft.sources.TableIO
   *
   * What is reused vs recomputed:
   *  - REUSED (old text is never re-shingled corpus-wide): the base run's
-  *    `docs` and `signatures` checkpoints — signatures are the only
-  *    corpus-wide text-derived relation the increment needs (for banding);
-  *  - RECOMPUTED over the union (narrow 16 B/row): band hashes → bucket
-  *    census → candidate pairs. Banding is stateless per doc, so the union
-  *    band table is exactly what a from-scratch run would build — this is
-  *    the layer where old and new docs must meet (a new page's duplicate
-  *    may have been crawled a year ago);
+  *    `docs` checkpoint, and — since round 5 — its `bands` and `census`
+  *    checkpoints. Bands are stateless per doc and census counts are
+  *    ADDITIVE, so the increment writes only its own band rows + a delta
+  *    census; the union census is materialized only for buckets the
+  *    increment TOUCHES (prev ⋉ touched-keys + delta), and old band rows
+  *    are consulted only for those buckets via a broadcast key probe at
+  *    the columnar checkpoint scan. `signatures` are read back only on the
+  *    rare hot-bucket (salted) path;
+  *  - RECOMPUTED: candidate pairs involving ≥1 new doc (O(new·bucket)).
+  *    Old-old pairs are invariant — a bucket with no new member contributes
+  *    nothing new, and an over-cap bucket can never come back under the
+  *    cap — this is the layer where old and new docs must meet (a new
+  *    page's duplicate may have been crawled a year ago);
   *  - VERIFIED only for pairs NOT already adjudicated: union candidates
   *    anti-join the base candidates checkpoint (a pair that was a candidate
   *    before has a known verdict — in `verified_pairs` or failed the
@@ -66,7 +72,8 @@ object IncrementalDedup {
     java.lang.Long.toHexString(Rng.hashString(0x494E4352L /* "INCR" */, s"$stage|$salt"))
 
   private[pipeline] val Stages =
-    Seq("docs", "shingles", "signatures", "candidates", "verified_pairs", "clusters")
+    Seq("docs", "shingles", "signatures", "bands", "census",
+      "candidates", "verified_pairs", "clusters")
 
   /** Committed increment directories with their numbers, in order. STRICT
     * `inc-<int>` name match — a stray `inc-1.bak` backup must be ignored, not
@@ -196,7 +203,6 @@ object IncrementalDedup {
     val dir = s"$finalDir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
 
     val oldDocs = readAll(spark, baseDir, "docs") // (id, url, text)
-    val oldSigs = readAll(spark, baseDir, "signatures")
     val oldCand = latest(spark, baseDir, "candidates")
     val oldVerified = latest(spark, baseDir, "verified_pairs")
 
@@ -204,12 +210,13 @@ object IncrementalDedup {
     // wallMillis is the same full wall: TableIO.write's by-name wallMillis
     // parameter is evaluated AFTER the materializing data write.
     val verbose = java.lang.Boolean.getBoolean("graft.inc.verbose")
-    def stage(name: String, salt: String)(compute: => DataFrame): DataFrame = {
+    def stage(name: String, salt: String, extra: Map[String, String] = Map.empty)(
+        compute: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val df = compute
       TableIO.write(df, s"$dir/$name", name, incHash(name, salt),
         (System.nanoTime() - t0) / 1000000L,
-        extra = Map("family" -> family))
+        extra = extra + ("family" -> family))
       if (verbose)
         println(f"[inc] $name%-15s ${(System.nanoTime() - t0) / 1e9}%7.2f s (incl. write)")
       TableIO.read(spark, s"$dir/$name")
@@ -254,46 +261,113 @@ object IncrementalDedup {
           col("shingles"), lit(cfg.numHashes), lit(cfg.seed)).as("sig"))
     }
 
-    // 4. narrow union recompute: bands → census, then candidates involving
-    // ≥1 NEW doc only. Old-old candidate pairs are INVARIANT under an
-    // increment — banding is stateless per doc and buckets only grow, so a
-    // bucket in-cap at the base run already contributed its old-old pairs
-    // to the base candidates checkpoint (and a bucket over-cap then can
-    // never come back under). Joining the new docs' bands (small) against
-    // the union band table makes the pair join O(new · bucket) instead of
-    // the O(union · bucket) full self-join — the actual incremental shape.
-    val unionSigs = oldSigs.unionByName(newSigs)
-    val bandsDf = Dedup.bands(unionSigs, cfg)
-    val newBands = Dedup.bands(newSigs, cfg)
-    val census = Dedup.bucketCensus(bandsDf).cache()
-    val tCensus = System.nanoTime()
-    val hot = census
-      .agg(count(when(col("bucket_size") > cfg.maxBucket, 1)).as("c")).first().getLong(0)
-    if (verbose)
-      println(f"[inc] census-probe    ${(System.nanoTime() - tCensus) / 1e9}%7.2f s (union bands + census cache fill)")
-    val gate = census.where(col("bucket_size").between(2, cfg.maxBucket))
-      .select("band_hash")
-      .hint("shuffle_hash") // unbounded key set — never broadcast
-    val newInvolving = bandsDf.join(gate, "band_hash")
-      .select(col("band_hash"), col("id").as("id_o"))
-      .join(
-        newBands.join(gate, "band_hash").select(col("band_hash"), col("id").as("id_n"))
-          .hint("shuffle_hash"),
-        "band_hash")
-      .where(col("id_o") =!= col("id_n"))
-      .select(
-        least(col("id_o"), col("id_n")).as("id_a"),
-        greatest(col("id_o"), col("id_n")).as("id_b"))
-    val unionCand =
-      if (cfg.saltWindow > 0 && hot > 0)
+    // 4. ADDITIVE band/census extension (VERDICT r4 #3). Bands are
+    // stateless per doc and census counts are additive, so the increment
+    // writes ONLY its own band rows + its delta census; the union census is
+    // needed ONLY for buckets the increment TOUCHES (old-old pairs are
+    // invariant: a bucket with no new member contributes nothing new, its
+    // in-cap pairs are already in the base candidates checkpoint, and an
+    // over-cap bucket can never come back under the cap). Touched-bucket
+    // census = Σ over snapshots (prev census ⋉ touched keys) + delta —
+    // O(new·bands) work against a columnar scan of the narrow census
+    // checkpoints, instead of the r4 form's O(union) re-banding of every
+    // signature + O(union·bands) census shuffle.
+    val nNewDocs = TableIO.readManifest(s"$dir/docs").map(_.rows).getOrElse(0L)
+    val newBands = stage("bands", salt)(Dedup.bands(newSigs, cfg))
+    val deltaCensusDf = Dedup.bucketCensus(newBands)
+
+    val prevCensusManifest = TableIO.readManifest(
+      if (priorInc.isEmpty) s"$baseDir/census" else s"${priorInc.last}/census")
+    val prevCapped = prevCensusManifest
+      .flatMap(_.extra.get("cappedBuckets")).map(_.toLong).getOrElse(0L)
+    val prevMaxBucket = prevCensusManifest
+      .flatMap(_.extra.get("maxBucketSize")).map(_.toLong).getOrElse(0L)
+
+    val bcKeyLimit = java.lang.Long.getLong("graft.inc.broadcastKeyLimit", 2000000L)
+    // an EMPTY increment (all re-crawls) writes empty bands/census stages
+    // and touches nothing — guarding here also keeps the explicit key
+    // broadcast below provably non-empty (the phantom-broadcast trap)
+    var touchedCaches: Seq[DataFrame] = Seq.empty
+    val (touchedCensus, cappedCum, maxBucketCum) =
+      if (nNewDocs == 0) (null: DataFrame, prevCapped, prevMaxBucket)
+      else {
+        val keys0 = deltaCensusDf.select("band_hash")
+        // nNewDocs·bands bounds the touched-key count exactly, with no
+        // extra count() action; a daily increment broadcasts, a
+        // backfill-sized one falls back to a shuffle probe
+        val keys =
+          if (nNewDocs * cfg.bands <= bcKeyLimit) broadcast(keys0)
+          else keys0.hint("shuffle_hash")
+        val prevTouched = readAll(spark, baseDir, "census").join(keys, "band_hash")
+          .groupBy("band_hash").agg(sum("bucket_size").as("bucket_size"))
+          .cache()
+        val touched = prevTouched.unionByName(deltaCensusDf)
+          .groupBy("band_hash").agg(sum("bucket_size").as("bucket_size"))
+          .cache()
+        touchedCaches = Seq(prevTouched, touched)
+        val prevHot = prevTouched.where(col("bucket_size") > cfg.maxBucket).count()
+        val nowStats = touched.agg(
+          count(when(col("bucket_size") > cfg.maxBucket, 1)).as("hot"),
+          max(col("bucket_size")).as("maxB")).first()
+        // buckets only grow: cumulative capped count = previous snapshot's
+        // + touched buckets that crossed the cap THIS increment
+        (touched,
+          prevCapped + (nowStats.getLong(0) - prevHot),
+          math.max(prevMaxBucket, nowStats.getLong(1)))
+      }
+    val deltaCensusOut = stage("census", salt, Map(
+      "cappedBuckets" -> cappedCum.toString,
+      "maxBucketSize" -> maxBucketCum.toString,
+      "saltWindow" -> cfg.saltWindow.toString))(deltaCensusDf)
+
+    val unionCand = {
+      val withNew =
+        if (nNewDocs == 0) oldCand
+        else {
+          val gateCount =
+            touchedCensus.where(col("bucket_size").between(2, cfg.maxBucket)).count()
+          if (verbose)
+            println(s"[inc] touched buckets in-cap (pair-eligible): $gateCount")
+          if (gateCount == 0) oldCand
+          else {
+            val gate0 = touchedCensus
+              .where(col("bucket_size").between(2, cfg.maxBucket)).select("band_hash")
+            val gate =
+              if (nNewDocs * cfg.bands <= bcKeyLimit) broadcast(gate0)
+              else gate0.hint("shuffle_hash")
+            // old band rows are consulted ONLY for gated touched buckets —
+            // a broadcast probe applied at the columnar checkpoint scan,
+            // never a shuffle of the untouched corpus
+            val unionBands = readAll(spark, baseDir, "bands").unionByName(newBands)
+            val newInvolving = unionBands.join(gate, "band_hash")
+              .select(col("band_hash"), col("id").as("id_o"))
+              .join(
+                newBands.join(gate, "band_hash")
+                  .select(col("band_hash"), col("id").as("id_n"))
+                  .hint("shuffle_hash"),
+                "band_hash")
+              .where(col("id_o") =!= col("id_n"))
+              .select(
+                least(col("id_o"), col("id_n")).as("id_a"),
+                greatest(col("id_o"), col("id_n")).as("id_b"))
+            Dedup.dedupPairs(oldCand.unionByName(newInvolving))
+          }
+        }
+      if (cfg.saltWindow > 0 && cappedCum > 0) {
         // hot buckets are rare and gated: the salted path still runs over
-        // the union (its window pairing is not decomposable per increment)
+        // the union (its window pairing is not decomposable per increment),
+        // but the union bands/census/signatures come from the narrow
+        // checkpoints — old TEXT is still never re-hashed
+        val censusFull = readAll(spark, baseDir, "census").unionByName(deltaCensusOut)
+          .groupBy("band_hash").agg(sum("bucket_size").as("bucket_size"))
+        val bandsFull = readAll(spark, baseDir, "bands").unionByName(newBands)
+        val sigsFull = readAll(spark, baseDir, "signatures").unionByName(newSigs)
         Dedup.dedupPairs(
-          oldCand.unionByName(newInvolving)
-            .union(Dedup.saltedHotPairs(bandsDf, census, unionSigs, cfg)))
-      else Dedup.dedupPairs(oldCand.unionByName(newInvolving))
+          withNew.union(Dedup.saltedHotPairs(bandsFull, censusFull, sigsFull, cfg)))
+      } else withNew
+    }
     val candOut = stage("candidates", salt)(unionCand)
-    census.unpersist(blocking = false)
+    touchedCaches.foreach(_.unpersist(blocking = false))
 
     // 5. verify ONLY unadjudicated pairs, with shingles drawn from the
     // union (one side of a new pair may be an old doc — its shingles come

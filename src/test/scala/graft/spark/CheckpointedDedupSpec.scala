@@ -32,7 +32,7 @@ class CheckpointedDedupSpec extends AnyFunSuite {
     val pages = PagesGen.pages(spark, 120, 0L, 4)
     val first = CheckpointedDedup.run(spark, pages, cfg, base)
     assert(first.recomputedStages.toSet ==
-      Set("docs", "shingles", "signatures", "candidates", "verified_pairs", "clusters"))
+      Set("docs", "shingles", "signatures", "bands", "census", "candidates", "verified_pairs", "clusters"))
     val c1 = collectClusters(first.clusters)
 
     val second = CheckpointedDedup.run(spark, pages, cfg, base)
@@ -77,7 +77,7 @@ class CheckpointedDedupSpec extends AnyFunSuite {
     // the docs-stage hash must force a full recompute, not a stale resume
     val second = CheckpointedDedup.run(spark, PagesGen.pages(spark, 80, 1L, 4), cfg, base)
     assert(second.recomputedStages.toSet ==
-      Set("docs", "shingles", "signatures", "candidates", "verified_pairs", "clusters"))
+      Set("docs", "shingles", "signatures", "bands", "census", "candidates", "verified_pairs", "clusters"))
     rmrf(base)
   }
 
@@ -92,7 +92,49 @@ class CheckpointedDedupSpec extends AnyFunSuite {
     assert(cand.extra.contains("cappedBuckets") && cand.extra.contains("maxBucketSize"))
     // metrics table exists with one row per stage
     val metrics = spark.read.parquet(s"$base/metrics")
-    assert(metrics.count() == 6)
+    assert(metrics.count() == 8)
+    rmrf(base)
+  }
+
+  test("TableIO.rowCount: footer metadata equals a full count, manifest wins when present") {
+    // plain parquet file (driver-generated testdata): footers only, no job
+    val p = "/root/testdata/sf0.001/embeddings.parquet"
+    assert(TableIO.rowCount(spark, p) == spark.read.parquet(p).count())
+    // manifest-tracked stage dir: the recorded row count is used
+    val base = freshDir()
+    import spark.implicits._
+    TableIO.write(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), s"$base/t", "t", "h", 0L)
+    assert(TableIO.rowCount(spark, s"$base/t") == 2L)
+    // and a bare parquet directory (the stage's data dir) sums per-file footers
+    assert(TableIO.rowCount(spark, s"$base/t/data") == 2L)
+    rmrf(base)
+  }
+
+  test("verify id-prune: sparse candidates verify against O(pairs) docs, not the corpus") {
+    val base = freshDir()
+    // PagesGen corpora are mostly singletons — candidate pairs are sparse
+    // relative to the corpus, so the prune must engage
+    val pages = PagesGen.pages(spark, 300, 0L, 4)
+    val rep = CheckpointedDedup.run(spark, pages, cfg, base)
+    val m = TableIO.readManifest(s"$base/verified_pairs").get
+    assert(m.extra.get("verifyPruned").contains("true"))
+    val nCand = TableIO.readManifest(s"$base/candidates").get.rows
+    val prunedDocs = m.extra("verifyPrunedDocs").toLong
+    // the verify join's doc input is bounded by the pair ids (≤ 2 per pair)
+    // and strictly smaller than the corpus — O(pairs), not O(corpus)
+    assert(prunedDocs <= 2 * nCand, s"prunedDocs=$prunedDocs nCand=$nCand")
+    assert(prunedDocs < 300, s"prune did not engage: $prunedDocs docs scanned")
+    // forcing the dense path (limit 0) yields identical verified pairs
+    System.setProperty("graft.verify.pruneIdLimit", "0")
+    try {
+      val base2 = freshDir()
+      val rep2 = CheckpointedDedup.run(spark, pages, cfg, base2)
+      assert(TableIO.readManifest(s"$base2/verified_pairs").get
+        .extra.get("verifyPruned").contains("false"))
+      assert(rep2.verifiedPairs.collect().map(_.toSeq).toSet ==
+        rep.verifiedPairs.collect().map(_.toSeq).toSet)
+      rmrf(base2)
+    } finally System.clearProperty("graft.verify.pruneIdLimit")
     rmrf(base)
   }
 

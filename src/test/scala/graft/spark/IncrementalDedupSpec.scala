@@ -115,6 +115,62 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(full.verifiedPairs.count() == 0)
   }
 
+  test("additive bands/census: delta-only storage, cumulative skew stats exact") {
+    val n = 200L
+    val all = PagesGen.pages(spark, n, seed = 31L, partitions = 4)
+    val dir = tmp("graft-inc-additive")
+    CheckpointedDedup.run(spark, all.where(col("id") < 150).drop("id"), cfg, dir)
+    val rep = IncrementalDedup.run(spark, all.where(col("id") >= 150).drop("id"), cfg, dir)
+
+    // the increment's band/census stages hold ONLY the delta
+    val bandRows = TableIO.readManifest(s"${rep.incDir}/bands").get.rows
+    assert(bandRows == 50L * cfg.bands, s"bands stage must be delta-only, got $bandRows")
+
+    // cumulative skew stats carried in the delta-census manifest must equal
+    // a full recompute over the union (the additive arithmetic is exact)
+    val incCensusExtra = TableIO.readManifest(s"${rep.incDir}/census").get.extra
+    val fullDir = tmp("graft-inc-additive-full")
+    CheckpointedDedup.run(spark, all.drop("id"), cfg, fullDir)
+    val fullExtra = TableIO.readManifest(s"$fullDir/census").get.extra
+    assert(incCensusExtra("cappedBuckets") == fullExtra("cappedBuckets"))
+    assert(incCensusExtra("maxBucketSize") == fullExtra("maxBucketSize"))
+
+    // and the reconstructed union census (base + deltas, summed) equals the
+    // from-scratch census bucket for bucket
+    val unionCensus = IncrementalDedup.readAll(spark, dir, "census")
+      .groupBy("band_hash").agg(org.apache.spark.sql.functions.sum("bucket_size").as("bucket_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fullCensus = TableIO.read(spark, s"$fullDir/census")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(unionCensus == fullCensus)
+  }
+
+  test("hot-bucket increment: salted path runs from checkpoints, recall kept") {
+    import spark.implicits._
+    // cap 3 with salting ON: 8 identical docs in the base make every band
+    // bucket hot from the start (8 > 3), so BOTH the base and the increment
+    // exercise the salted path; the increment must keep the duplicate group
+    // connected using only checkpointed bands/census/signatures.
+    val hotCfg = DedupConfig(seed = 42L, maxBucket = 3, saltWindow = 4)
+    val text = (1 to 40).map(i => s"boil$i").mkString(" ")
+    def crawl(ids: Range) = ids.map(i => (s"https://h.example/p$i", text)).toDF("url", "text")
+    val dir = tmp("graft-inc-hot")
+    CheckpointedDedup.run(spark, crawl(0 until 8), hotCfg, dir)
+    assert(TableIO.readManifest(s"$dir/census").get.extra("cappedBuckets").toLong > 0)
+    val rep = IncrementalDedup.run(spark, crawl(8 until 12), hotCfg, dir)
+    // monotone contract: increment pairs ⊇ a from-scratch union run's pairs
+    val fromScratch = CheckpointedDedup.run(
+      spark, crawl(0 until 12), hotCfg, tmp("graft-inc-hot-full"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(fromScratch.verifiedPairs).subsetOf(pairSet(rep.verifiedPairs)))
+    // every doc (old and new) lands in ONE cluster — the salted chains over
+    // the union keep the group connected across the base/increment split
+    val clusterIds = rep.clusters.select("cluster_id").distinct().collect()
+    assert(clusterIds.length == 1, s"expected one cluster, got ${clusterIds.length}")
+    assert(rep.clusters.count() == 12)
+  }
+
   test("a PARTIAL increment (missing stage manifest) fails fast, naming the dir") {
     val all = PagesGen.pages(spark, 80L, seed = 13L, partitions = 4)
     val dir = tmp("graft-inc-partial")
