@@ -171,6 +171,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(rep.clusters.count() == 12)
   }
 
+  test("an all-recrawl increment (zero new docs) commits cleanly and changes nothing") {
+    val n = 80L
+    val all = PagesGen.pages(spark, n, seed = 37L, partitions = 4)
+    val dir = tmp("graft-inc-zero")
+    val baseRep = CheckpointedDedup.run(spark, all.drop("id"), cfg, dir)
+    val baseClusters = baseRep.clusters.select("id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the increment is ENTIRELY re-crawled urls → zero fresh docs: the
+    // bands/census stages are written (empty delta / committed manifests),
+    // the skew stats carry over unchanged, no pair work runs
+    val rep = IncrementalDedup.run(spark, all.limit(20).drop("id"), cfg, dir)
+    assert(rep.newDocs == 0L)
+    assert(TableIO.readManifest(s"${rep.incDir}/bands").get.rows == 0L)
+    val baseExtra = TableIO.readManifest(s"$dir/census").get.extra
+    val incExtra = TableIO.readManifest(s"${rep.incDir}/census").get.extra
+    assert(incExtra("cappedBuckets") == baseExtra("cappedBuckets"))
+    assert(incExtra("maxBucketSize") == baseExtra("maxBucketSize"))
+    val got = rep.clusters.select("id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == baseClusters)
+    // and a later REAL increment still stacks on top of the empty one
+    val more = PagesGen.pages(spark, 120L, seed = 37L, partitions = 4)
+      .where(col("id") >= 80).drop("id")
+    val rep2 = IncrementalDedup.run(spark, more, cfg, dir)
+    assert(rep2.incDir.endsWith("inc-2") && rep2.newDocs == 40L)
+    assert(IncrementalDedup.readAll(spark, dir, "docs").count() == 120L)
+  }
+
   test("a PARTIAL increment (missing stage manifest) fails fast, naming the dir") {
     val all = PagesGen.pages(spark, 80L, seed = 13L, partitions = 4)
     val dir = tmp("graft-inc-partial")
