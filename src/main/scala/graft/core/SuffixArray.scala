@@ -107,7 +107,14 @@ object SuffixArray {
   /** Length of the longest common substring of a and b.
     * Classic SA trick: build over a + SEP + b (SEP below any codepoint),
     * answer = max LCP between adjacent suffixes from different halves. */
-  def lcsLength(a: String, b: String, maxLen: Int = 20000): Int = {
+  /** Java-callable arity-2 form — Scala default arguments generate NO 2-arg
+    * overload, so generated (Janino) code calling lcsLength(a, b) failed to
+    * compile and silently de-codegened every stage containing graft_lcs_len
+    * (caught in the round-5 scaling logs; CodegenStrictSpec now hardens
+    * against the local-relation fold that hid it). */
+  def lcsLength(a: String, b: String): Int = lcsLength(a, b, 20000)
+
+  def lcsLength(a: String, b: String, maxLen: Int): Int = {
     if (a.isEmpty || b.isEmpty) return 0
     val ta = if (a.length > maxLen) a.substring(0, maxLen) else a
     val tb = if (b.length > maxLen) b.substring(0, maxLen) else b

@@ -22,16 +22,32 @@ class CodegenStrictSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   /** Run `body` with codegen failures fatal (no interpreted fallback, and
-    * expression-level factories forced to CODEGEN_ONLY). */
+    * expression-level factories forced to CODEGEN_ONLY).
+    *
+    * ConvertToLocalRelation is EXCLUDED for the duration: that optimizer
+    * rule evaluates Project-over-`Seq(...).toDF` with an explicitly
+    * INTERPRETED projection, so a `Seq(...).toDF.select(expr).collect()`
+    * test can pass without ever compiling the expression — exactly how the
+    * round-5 graft_lcs_len Janino failure (Scala default-arg method has no
+    * 2-arg overload for generated Java) slipped past this suite while
+    * de-codegening whole production stages. With the rule off, these plans
+    * hit WholeStageCodegen for real and fallback=false makes failure loud. */
   private def strictCodegen[T](body: => T): T = {
     val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
     val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val prevExcluded = spark.conf.getOption("spark.sql.optimizer.excludedRules")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     try body
     finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFallback)
       spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+      prevExcluded match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
     }
   }
 
