@@ -91,14 +91,27 @@ object TableIO {
     val dataDir = s"$dir/data"
     Files.deleteIfExists(manifestPath(dir))
     df.write.mode("overwrite").parquet(dataDir)
-    // per-file lineage from the files actually written (one footer-only scan)
-    val lineage = spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"))
-      .collect()
-      .map(r => FileLineage(r.getString(0).replaceFirst(".*/", ""), r.getLong(1)))
-      .sortBy(_.file)
-      .toList
+    // per-file lineage straight from the parquet FOOTERS (driver-side
+    // metadata reads) — this was a full Spark scan job per stage write
+    // (groupBy input_file_name over the data just written), a fixed
+    // per-stage constant that the 8-stage checkpointed pipeline paid 8×
+    // per run and that sat on the serialized job path at every cluster
+    // size. Same names, same counts, zero jobs.
+    val lineage = {
+      val conf = spark.sessionState.newHadoopConf()
+      val dp = new org.apache.hadoop.fs.Path(dataDir)
+      val fs = dp.getFileSystem(conf)
+      fs.listStatus(dp)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try FileLineage(st.getPath.getName, r.getRecordCount) finally r.close()
+        }
+        .sortBy(_.file)
+        .toList
+    }
     val m = Manifest(
       stage = stage,
       configHash = configHash,
