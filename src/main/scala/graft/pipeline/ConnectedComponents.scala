@@ -66,15 +66,31 @@ object ConnectedComponents {
     // caller's edge relation is typically the UNCACHED candidates+verify
     // plan, so the union form recomputed the whole verify stage twice
     // inside this job (measured ~1 s of q_dedup_clusters' warm 4.3 s).
-    val (sym, symIds) = timed("symmetrize (materializes edge plan)")(checkpointTracked(
+    //
+    // LAZY checkpoint (like the per-round labels): round 0's full-scan
+    // convergence count is the first action that touches sym and the initial
+    // labels, so it materializes both — symmetrize + init + round 0 run as
+    // ONE job instead of three. Round 0's neighbor join scans every sym
+    // partition and the count scans every label partition, so the lazy
+    // checkpoints still persist completely (the same full-scan argument the
+    // per-round checkpoint already relies on). On this VM each extra job is
+    // pure scheduling/syscall constant; at real scale fewer barriers also
+    // means the scheduler can pipeline the edge materialization into the
+    // first propagation stage.
+    // (Under AQE even a lazy localCheckpoint's `.rdd` access executes the
+    // plan's intermediate shuffle stages to finalize the adaptive plan, so
+    // the edge-plan cost lands HERE, not in round 0 — keep it timed.)
+    val (sym, symIds) = timed("symmetrize (stages run at lazy checkpoint)")(checkpointTracked(
       edges
         .select(explode(array(
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")),
+      eager = false))
 
-    var (labels, labelIds) = timed("init labels")(checkpointTracked(
-      vertices.select(col("id"), col("id").as("cluster_id"))))
+    var (labels, labelIds) = timed("init labels (lazy)")(checkpointTracked(
+      vertices.select(col("id"), col("id").as("cluster_id")),
+      eager = false))
     // Pointer jumping is engaged only after the plain rounds stop being
     // enough: near-dup components are almost always shallow (diameter ≤ 2-3
     // via the min-id hub), where the jump join is pure overhead — measured

@@ -94,6 +94,18 @@ object PagesGen {
   def corpus(spark: SparkSession, n: Long, seed: Long = 0L, partitions: Int = 32): DataFrame =
     pages(spark, n, seed, partitions).select("id", "text")
 
+  /** Boilerplate page text for skewed-corpus fixtures: every id renders the
+    * SAME template (cluster-0-style draw, textScale× base length) with a 1%
+    * per-token mutation — pairwise word-trigram Jaccard ≈ 0.85-0.95, so ALL
+    * such docs collide in one giant band bucket per band (the web-scale
+    * boilerplate shape: navigation chrome / legal pages / mirrors) and force
+    * the census cap + salted-cell pairing path, which no plain PagesGen
+    * corpus reaches (its clusters have 3 members). Deterministic in (seed, id). */
+  def boilerplateText(seed: Long, id: Long, textScale: Int = 2): String = {
+    val template = baseText(Rng.derive(seed, 0xB011E77EL), 0L, textScale)
+    mutate(template, Rng.derive(Rng.derive(seed, 0xB011E77EL), id), 0.01).mkString(" ")
+  }
+
   /** Planted duplicate pairs (slots {0,1,2} within a block), id_a < id_b. */
   def plantedPairs(n: Long): Seq[(Long, Long)] =
     (0L until n / ClusterSlots).flatMap { c =>

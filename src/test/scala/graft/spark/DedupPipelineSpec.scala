@@ -112,6 +112,28 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert((0L until 60L).forall(i => noSalt(i) == i))
   }
 
+  test("MUTATED boilerplate (BigSmoke skew fixture) resolves to ONE cluster under the cap") {
+    import spark.implicits._
+    // PagesGen.boilerplateText: one shared template at 1% token mutation
+    // (pairwise J ≈ 0.85-0.95) — unlike the exact-duplicate test above,
+    // members differ in signature lane 0, so connectivity must come from
+    // intra-cell (sort_key, id) adjacency PLUS cross-cell stitching, the
+    // path the 2M-doc skewed smoke exercises at scale. Pinned here at test
+    // scale so the smoke's "1 cluster" evidence has a fast guard.
+    val docs = ((0L until 80L).map(i => (i, PagesGen.boilerplateText(0L, i, textScale = 1))) ++
+      (100L until 140L).map(i => (i, PagesGen.textFor(7L, i)))).toDF("id", "text")
+    val tiny = cfg.copy(maxBucket = 16, saltWindow = 4)
+    val clusters = Dedup.clusters(docs, tiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val boilerClusters = (0L until 80L).map(clusters).distinct
+    assert(boilerClusters == Seq(0L),
+      s"boilerplate group fragmented into ${boilerClusters.size} clusters: " +
+        s"${boilerClusters.take(5)}")
+    // determinism of the fixture itself (it feeds the recorded smoke numbers)
+    assert(PagesGen.boilerplateText(0L, 7L) == PagesGen.boilerplateText(0L, 7L))
+    assert(PagesGen.boilerplateText(0L, 7L) != PagesGen.boilerplateText(0L, 8L))
+  }
+
   test("char-shingle mode end-to-end: recall ≥ 0.99 + perfect precision vs char-gram truth") {
     // the reference's MinHash input is ANY symbol set (minhash.jl:146-170);
     // char-5-gram mode exercises the full pipeline on character shingles.
