@@ -271,6 +271,22 @@ object SparkEntry {
       Dedup.clusters(docsAsCorpus(s, dir), lshConfig)
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")),
+    "q_decontaminate" -> ((s, dir) => {
+      // Train/eval decontamination: corpus docs near-duplicate (exact
+      // word-trigram Jaccard ≥ 0.5, LSH-candidated) to a held-out eval
+      // set — here the deterministic doc_id % 7 == 0 slice, which crosses
+      // enough planted dup groups to make the gate non-trivial at every sf.
+      // Asymmetric scale shape: the eval side's bands BROADCAST, so the
+      // corpus band relation is probed at the scan with no corpus-wide
+      // shuffle (see graft.pipeline.Decontaminate). Bitwise-oracleable for
+      // the same reason as q_minhash_lsh_pairs: the output is exact
+      // Jaccard, kernel-independent; min cross-split J in this corpus is
+      // 0.8 where banding miss prob is (1−0.8³)^42 ≈ 8.6e-14.
+      val d = docsAsCorpus(s, dir)
+      graft.pipeline.Decontaminate
+        .pairs(d.where(col("id") % 7 =!= 0), d.where(col("id") % 7 === 0), lshConfig)
+        .orderBy("doc_id", "eval_id")
+    }),
     "q_minhash_signatures" -> ((s, dir) => {
       // SQL-transparent MinHash (SURVEY §2.a ops #1-2): 16 lanes, lane hash =
       // md5-derived 60-bit integer, signature lane = min over the doc's
@@ -604,6 +620,14 @@ object SparkEntry {
            |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
            |reach(a, b) AS (SELECT doc_id, doc_id FROM t UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      "q_decontaminate" ->
+        s"""WITH $pairCtes
+           |SELECT CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+           |       CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS eval_id,
+           |       jaccard
+           |FROM jac
+           |WHERE jaccard >= 0.5 AND ((doc_a % 7 = 0) <> (doc_b % 7 = 0))
+           |ORDER BY doc_id, eval_id""".stripMargin,
       "q_minhash_signatures" ->
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |sh AS (SELECT DISTINCT doc_id, s FROM t, UNNEST(list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) u(s)),

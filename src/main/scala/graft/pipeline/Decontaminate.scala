@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination: flag every corpus document that is a
+  * near-duplicate of a held-out evaluation/benchmark document — the
+  * train/test-leak scrub every LLM training-data pipeline runs before
+  * training. Same candidate semantics as [[Dedup]] (banded MinHash,
+  * OR-amplification, exact-Jaccard adjudication; reference contract
+  * /root/reference/src/hashes/minhash.jl:142 + similarities.jl:230-238) but
+  * ASYMMETRIC, which changes the scale shape completely:
+  *
+  *  - the eval side is tiny (benchmark suites: 10³-10⁶ docs) while the
+  *    corpus is the full 100 TB — so the eval side's band table is shipped
+  *    as an explicit BROADCAST and the corpus band relation is probed at
+  *    the scan with NO corpus-wide shuffle at all (the symmetric pipeline's
+  *    bucket groupBy — its biggest exchange — does not exist here);
+  *  - candidate volume is bounded by true contamination (each corpus row
+  *    joins at most its matching eval buckets), so no census gate is
+  *    needed: a boilerplate bucket shared with an eval doc is genuine
+  *    contamination output, linear in its size, not an O(n²) self-join;
+  *  - verification is O(pairs): the candidate ids are counted (they are
+  *    already materialized by the pair-dedup exchange) and, when sparse,
+  *    the corpus text is re-read through a broadcast id probe — the same
+  *    id-prune posture as [[IncrementalDedup]]'s verify and
+  *    [[CheckpointedDedup]]'s base verify — so corpus-wide shingle
+  *    relations are never shuffled for a handful of contaminated docs.
+  *
+  * Output: (doc_id, eval_id, jaccard) — one row per (corpus doc, eval doc)
+  * pair with exact word/char-shingle Jaccard ≥ cfg.threshold. Deterministic
+  * under any partitioning (stateless seeded hashing + exact verification).
+  * A doc id present in BOTH inputs is the same document, not contamination,
+  * and is excluded.
+  */
+object Decontaminate {
+
+  /** Above this many eval-side band rows (nEval·bands) the explicit
+    * broadcast falls back to a shuffle probe — ~16 B/row, so the default
+    * caps the broadcast at ~80 MB. Overridable for tests and big-memory
+    * clusters via -Dgraft.decon.broadcastBandLimit. */
+  def broadcastBandLimit: Long =
+    java.lang.Long.getLong("graft.decon.broadcastBandLimit", 5000000L)
+
+  /** Above this many candidate pairs the verify stage's broadcast id probe
+    * falls back to a corpus-wide sort-merge shingle join (the unbounded
+    * worst case: an eval set near-duplicating half the corpus).
+    * -Dgraft.decon.pruneIdLimit, mirroring graft.verify.pruneIdLimit. */
+  def pruneIdLimit: Long =
+    java.lang.Long.getLong("graft.decon.pruneIdLimit", 2000000L)
+
+  /** Contaminated pairs plus every DataFrame the plan pinned (caller
+    * unpersists after materializing — the [[Dedup.nearDupPairsWithHandle]]
+    * contract). Both inputs carry the pipeline's (id LONG, text STRING)
+    * schema. */
+  def pairsWithHandle(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      cfg: DedupConfig): (DataFrame, Seq[DataFrame]) = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExpressions.register(spark)
+
+    // Eval side: signatures cached (bands + verify both read it), count
+    // materializes the cache AND drives the broadcast/shuffle decision.
+    val evalSigs = Dedup.signatures(evalSet, cfg).cache()
+    val nEval = evalSigs.count()
+    if (nEval == 0L) {
+      // Short-circuit BEFORE any join is built: the candidate plan would
+      // explicitly broadcast an EMPTY long-keyed relation — the
+      // phantom-broadcast shape this runtime accounts ~513 MiB for
+      // (BENCH/BASELINE.md; same guard as IncrementalDedup's zero-pair path).
+      evalSigs.unpersist(blocking = false)
+      import spark.implicits._
+      return (Seq.empty[(Long, Long, Double)].toDF("doc_id", "eval_id", "jaccard"), Seq.empty)
+    }
+
+    // Candidates: corpus bands probed by the eval band table. One narrow
+    // text→sig→band pass over the corpus; with the broadcast engaged the
+    // only corpus-wide exchange in the WHOLE operator is the pair-dedup
+    // repartition below, which is O(candidates), not O(corpus).
+    val corpusBands = Dedup.bands(Dedup.signatures(corpus, cfg), cfg)
+    val evalBands = Dedup.bands(evalSigs, cfg)
+      .select(col("id").as("eval_id"), col("band_hash"))
+    val evalSide =
+      if (nEval * cfg.bands <= broadcastBandLimit) broadcast(evalBands)
+      else evalBands.hint("shuffle_hash")
+    val cand = corpusBands
+      .join(evalSide, "band_hash")
+      .where(col("id") =!= col("eval_id"))
+      .select(col("id").as("doc_id"), col("eval_id"))
+    // Partitioned by doc_id ONLY (dedupPairs rationale): the verify join on
+    // doc_id reuses this exchange instead of re-shuffling the pair relation.
+    val pairs = cand.repartition(col("doc_id"))
+      .dropDuplicates("doc_id", "eval_id")
+      .cache()
+    val nPairs = pairs.count()
+    if (nPairs == 0L) {
+      pairs.unpersist(blocking = false)
+      evalSigs.unpersist(blocking = false)
+      import spark.implicits._
+      return (Seq.empty[(Long, Long, Double)].toDF("doc_id", "eval_id", "jaccard"), Seq.empty)
+    }
+
+    // Verify: exact Jaccard on the candidate pairs. Corpus shingles are
+    // RE-DERIVED from the pruned docs' text (O(pairs) hashing — shingling
+    // is a pure function of text) behind a broadcast id probe when the
+    // pair set is sparse; the fallback sort-merge covers the degenerate
+    // dense case. Eval shingles come from the cached tiny side.
+    val corpusSh =
+      if (nPairs <= pruneIdLimit) {
+        val ids = pairs.select(col("doc_id").as("id")).distinct()
+        corpus.join(broadcast(ids), "id")
+          .select(col("id").as("doc_id"), Dedup.shingleHashes(cfg)(col("text")).as("sh_a"))
+      } else
+        Dedup.signatures(corpus, cfg)
+          .select(col("id").as("doc_id"), col("shingles").as("sh_a"))
+          .hint("merge")
+    val evalSh = evalSigs.select(col("id").as("eval_id"), col("shingles").as("sh_b"))
+    val evalShSide =
+      if (nEval * cfg.bands <= broadcastBandLimit) broadcast(evalSh)
+      else evalSh.hint("shuffle_hash")
+    val out = pairs
+      .join(corpusSh, "doc_id")
+      .join(evalShSide, "eval_id")
+      .select(col("doc_id"), col("eval_id"),
+        call_function("graft_jaccard_sorted", col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= cfg.threshold)
+    (out, Seq(evalSigs, pairs))
+  }
+
+  /** Convenience form; leaves the pinned relations cached until the caller
+    * clears the session cache (what Verify/Bench do between queries). */
+  def pairs(corpus: DataFrame, evalSet: DataFrame, cfg: DedupConfig): DataFrame =
+    pairsWithHandle(corpus, evalSet, cfg)._1
+
+  /** The scrub itself: corpus docs with NO near-duplicate in the eval set —
+    * what a pipeline actually writes out as the decontaminated training
+    * corpus. Left-anti by doc_id against the flagged pairs; the flagged
+    * relation is O(contamination), so the anti-join broadcasts in the
+    * common case and never reshuffles the corpus payload. */
+  def clean(corpus: DataFrame, evalSet: DataFrame, cfg: DedupConfig): DataFrame =
+    corpus.join(
+      // pinned relations are O(eval)+O(pairs); released at the caller's
+      // next clearCache like the other convenience entries
+      pairs(corpus, evalSet, cfg).select(col("doc_id").as("id")).distinct(),
+      Seq("id"), "left_anti")
+}

@@ -1,0 +1,122 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Similarities
+import graft.functions.GraftFunctions
+import graft.pipeline.{Decontaminate, Dedup, DedupConfig}
+import graft.testkit.PagesGen
+
+/** Eval-set decontamination: exact ground truth equivalence on the planted
+  * corpus, the empty/zero short-circuits (the phantom-broadcast guard), the
+  * broadcast→shuffle fallbacks, and the no-corpus-shuffle plan shape. */
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val nDocs = 400L
+  val cfg = DedupConfig(shingleWords = 3, numHashes = 126, bands = 42, threshold = 0.5, seed = 42L)
+  val m = 7L // eval slice: id % 7 == 0 (same rule as q_decontaminate)
+
+  lazy val corpusDf = PagesGen.corpus(spark, nDocs, seed = 0L, partitions = 8)
+  def evalPart = corpusDf.where(col("id") % m === 0)
+  def trainPart = corpusDf.where(col("id") % m =!= 0)
+
+  /** Exact cross-split ground truth via the pure-Scala kernels (no LSH). */
+  lazy val truth: Map[(Long, Long), Double] = {
+    val shingles = (0L until nDocs).map { i =>
+      i -> GraftFunctions.shingleHashSet(
+        GraftFunctions.wordNgrams(PagesGen.textFor(0L, i), cfg.shingleWords), cfg.seed)
+    }.toMap
+    (for {
+      t <- 0L until nDocs if t % m != 0
+      e <- 0L until nDocs if e % m == 0
+      j = Similarities.jaccardSorted(shingles(t), shingles(e))
+      if j >= cfg.threshold
+    } yield (t, e) -> j).toMap
+  }
+
+  lazy val found: Map[(Long, Long), Double] =
+    Decontaminate.pairs(trainPart, evalPart, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("cross-split ground truth is non-trivial (the gate gates something)") {
+    assert(truth.nonEmpty, "no planted dup pair crosses the id % 7 split — pick another modulus")
+  }
+
+  test("flagged pairs = exact ground truth (recall ≥ 0.99, precision exact)") {
+    // verification is exact Jaccard ⇒ no false positives possible
+    assert(found.keySet.subsetOf(truth.keySet),
+      s"false positives: ${found.keySet.diff(truth.keySet).take(5)}")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.99, s"recall=$recall (${truth.size} truth, ${found.size} found)")
+    // jaccard values are the exact kernel values, bit for bit
+    found.foreach { case (k, j) => assert(j == truth(k), s"jaccard mismatch at $k") }
+  }
+
+  test("broadcast fallbacks (band shuffle + dense merge verify) agree") {
+    val props = Seq("graft.decon.broadcastBandLimit", "graft.decon.pruneIdLimit")
+    val saved = props.map(p => p -> Option(System.getProperty(p)))
+    props.foreach(p => System.setProperty(p, "0"))
+    try {
+      val fb = Decontaminate.pairs(trainPart, evalPart, cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(fb == found)
+    } finally saved.foreach {
+      case (p, Some(v)) => System.setProperty(p, v)
+      case (p, None)    => System.clearProperty(p)
+    }
+  }
+
+  test("empty eval set short-circuits to an empty, correctly-typed result") {
+    val (out, caches) =
+      Decontaminate.pairsWithHandle(trainPart, corpusDf.where(col("id") < 0), cfg)
+    assert(out.columns.toSeq == Seq("doc_id", "eval_id", "jaccard"))
+    assert(out.count() == 0)
+    assert(caches.isEmpty) // nothing pinned on the short-circuit path
+  }
+
+  test("zero candidate pairs short-circuits (disjoint vocabularies)") {
+    import spark.implicits._
+    val ev = Seq((9001L, "zzz yyy xxx www vvv uuu ttt sss")).toDF("id", "text")
+    val (out, caches) = Decontaminate.pairsWithHandle(trainPart, ev, cfg)
+    assert(out.count() == 0)
+    assert(caches.isEmpty)
+  }
+
+  test("a doc id present in both inputs is the same doc, never a pair") {
+    // eval slice ⊂ corpus: every candidate with itself is excluded, and the
+    // remaining flags equal the cross-split truth exactly
+    val both = Decontaminate.pairs(corpusDf, evalPart, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!both.exists { case (a, b) => a == b })
+    // corpus here INCLUDES the eval docs, so eval-eval dup pairs also
+    // surface (doc_id side is an eval doc ≠ the probe doc) — the
+    // cross-split truth must still be exactly the non-eval-doc_id subset
+    assert(both.filterNot { case (a, _) => a % m == 0 } == truth.keySet)
+  }
+
+  test("clean() = corpus minus flagged docs") {
+    val cleaned = Decontaminate.clean(trainPart, evalPart, cfg)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val flaggedDocs = truth.keySet.map(_._1)
+    val trainIds = (0L until nDocs).filter(_ % m != 0).toSet
+    assert(cleaned == trainIds.diff(flaggedDocs))
+  }
+
+  test("plan: eval bands broadcast — no corpus-wide shuffle before the candidate join") {
+    val (out, _) = Decontaminate.pairsWithHandle(trainPart, evalPart, cfg)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join should broadcast the eval side:\n$plan")
+    // the only hash exchanges allowed are keyed on the O(candidates) pair
+    // relation (doc_id/eval_id — the dedup repartition and the pruned
+    // verify join). The corpus-wide relations must NEVER shuffle: no
+    // exchange keyed on band_hash (the symmetric pipeline's bucket
+    // groupBy) and none keyed on the raw corpus id (a shingle/sig
+    // sort-merge would show up here).
+    assert(!plan.contains("Exchange hashpartitioning(band_hash"),
+      s"corpus band relation shuffled:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(id#"),
+      s"corpus shingle/sig relation shuffled:\n$plan")
+  }
+}
