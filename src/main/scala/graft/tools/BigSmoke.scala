@@ -129,6 +129,27 @@ object BigSmoke {
         Some((w, n, bc))
       } else None
 
+    // Asymmetric decontamination at scale: eval slice = every 1000th doc
+    // (2k eval docs at 2M). The eval bands broadcast, so the corpus band
+    // relation is never shuffled — wall should sit well under the
+    // symmetric pair queries' (no self-join, no census stage). In the
+    // skew variant the eval slice contains boilerplate docs, so the flag
+    // set is genuinely large (each boilerplate eval doc flags the whole
+    // mutated group) — output-linear, which is the point.
+    val deconWall = {
+      val docsC = spark.read.parquet(docsPath).select(col("doc_id").as("id"), col("text"))
+      val t0 = System.nanoTime()
+      val (flagged, caches) = graft.pipeline.Decontaminate.pairsWithHandle(
+        docsC.where(col("id") % 1000 =!= 0), docsC.where(col("id") % 1000 === 0),
+        graft.SparkEntry.lshConfig)
+      val n = flagged.count()
+      val w = (System.nanoTime() - t0) / 1e9
+      caches.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      println(f"[bigsmoke] decontaminate(1/1000 eval) $w%6.1f s  ($n pairs)")
+      (w, n)
+    }
+
     // skew evidence: census shape on both banding paths
     val cfg = graft.SparkEntry.lshConfig
     val docs = spark.read.parquet(docsPath).select(col("doc_id").as("id"), col("text"))
@@ -149,7 +170,8 @@ object BigSmoke {
       } else ""
     println(s"""{"metric":"bigsmoke","docs":$nDocs,"vecs":$nVecs,"cores":$cores,""" +
       s""""queries":{$qs},"maxBucket":${mhCensus.getLong(0)},""" +
-      s""""cappedBuckets":${mhCensus.getLong(1)}$skewJson}""")
+      s""""cappedBuckets":${mhCensus.getLong(1)},""" +
+      s""""decontaminate":{"sec":${deconWall._1},"pairs":${deconWall._2}}$skewJson}""")
     spark.stop()
   }
 }
