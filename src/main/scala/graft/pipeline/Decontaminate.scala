@@ -49,6 +49,14 @@ object Decontaminate {
   def pruneIdLimit: Long =
     java.lang.Long.getLong("graft.decon.pruneIdLimit", 2000000L)
 
+  /** Byte budget for broadcasting the eval SHINGLE relation in the verify
+    * join. Unlike band rows (16 B flat), shingle arrays are ~8 B per
+    * SHINGLE — a web page is KBs of hashes — so this decision is made on
+    * the measured total (one agg over the already-cached tiny side), not
+    * on the doc count. -Dgraft.decon.broadcastShingleBytes. */
+  def broadcastShingleBytes: Long =
+    java.lang.Long.getLong("graft.decon.broadcastShingleBytes", 64L << 20)
+
   /** Contaminated pairs plus every DataFrame the plan pinned (caller
     * unpersists after materializing — the [[Dedup.nearDupPairsWithHandle]]
     * contract). Both inputs carry the pipeline's (id LONG, text STRING)
@@ -116,8 +124,13 @@ object Decontaminate {
           .select(col("id").as("doc_id"), col("shingles").as("sh_a"))
           .hint("merge")
     val evalSh = evalSigs.select(col("id").as("eval_id"), col("shingles").as("sh_b"))
+    // measured, not doc-count-estimated: the agg runs over the cached tiny
+    // side (one cheap job) — an eval set of long documents can be GBs of
+    // shingles at a doc count whose BAND table still broadcasts fine
+    val evalShingleBytes = 8L * evalSigs
+      .agg(sum(size(col("shingles"))).cast("long")).first().getLong(0)
     val evalShSide =
-      if (nEval * cfg.bands <= broadcastBandLimit) broadcast(evalSh)
+      if (evalShingleBytes <= broadcastShingleBytes) broadcast(evalSh)
       else evalSh.hint("shuffle_hash")
     val out = pairs
       .join(corpusSh, "doc_id")

@@ -54,7 +54,8 @@ class DecontaminateSpec extends AnyFunSuite {
   }
 
   test("broadcast fallbacks (band shuffle + dense merge verify) agree") {
-    val props = Seq("graft.decon.broadcastBandLimit", "graft.decon.pruneIdLimit")
+    val props = Seq("graft.decon.broadcastBandLimit", "graft.decon.pruneIdLimit",
+      "graft.decon.broadcastShingleBytes")
     val saved = props.map(p => p -> Option(System.getProperty(p)))
     props.foreach(p => System.setProperty(p, "0"))
     try {
