@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Eval-set decontamination: flag every corpus document that is a
@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   *    id-prune posture as [[IncrementalDedup]]'s verify and
   *    [[CheckpointedDedup]]'s base verify — so corpus-wide shingle
   *    relations are never shuffled for a handful of contaminated docs.
+  *
+  * Two entry shapes:
+  *  - [[pairsWithHandle]] over an in-memory (id, text) corpus;
+  *  - [[pairsFromCheckpoints]] over a completed (possibly incremented)
+  *    [[CheckpointedDedup]] store — the production shape when a NEW
+  *    benchmark arrives after the corpus was already processed: the
+  *    store's `bands` checkpoint is probed directly and corpus text is
+  *    touched only for the O(pairs) pruned verify, so NO corpus text is
+  *    re-hashed (the increments' never-re-hash-old-text contract, applied
+  *    cross-operator).
   *
   * Output: (doc_id, eval_id, jaccard) — one row per (corpus doc, eval doc)
   * pair with exact word/char-shingle Jaccard ≥ cfg.threshold. Deterministic
@@ -57,36 +67,28 @@ object Decontaminate {
   def broadcastShingleBytes: Long =
     java.lang.Long.getLong("graft.decon.broadcastShingleBytes", 64L << 20)
 
-  /** Contaminated pairs plus every DataFrame the plan pinned (caller
-    * unpersists after materializing — the [[Dedup.nearDupPairsWithHandle]]
-    * contract). Both inputs carry the pipeline's (id LONG, text STRING)
-    * schema. */
-  def pairsWithHandle(
-      corpus: DataFrame,
-      evalSet: DataFrame,
+  private def emptyResult(spark: SparkSession): (DataFrame, Seq[DataFrame]) = {
+    import spark.implicits._
+    (Seq.empty[(Long, Long, Double)].toDF("doc_id", "eval_id", "jaccard"), Seq.empty)
+  }
+
+  /** Shared candidate+verify assembly, parameterized over where the corpus
+    * side comes from (in-memory text vs checkpoint tables).
+    *
+    * @param corpusBands (id, band_hash) — one narrow pass or a checkpoint scan
+    * @param prunedShingles candidate-ids relation → (doc_id, sh_a) via a
+    *                       broadcast id probe (O(pairs) rows out)
+    * @param denseShingles corpus-wide (doc_id, sh_a), merge-hinted — the
+    *                      fallback when the pair set is NOT sparse
+    */
+  private def flagAgainstEval(
+      evalSigs: DataFrame,
+      nEval: Long,
+      corpusBands: DataFrame,
+      prunedShingles: DataFrame => DataFrame,
+      denseShingles: () => DataFrame,
       cfg: DedupConfig): (DataFrame, Seq[DataFrame]) = {
-    val spark = corpus.sparkSession
-    graft.functions.GraftExpressions.register(spark)
-
-    // Eval side: signatures cached (bands + verify both read it), count
-    // materializes the cache AND drives the broadcast/shuffle decision.
-    val evalSigs = Dedup.signatures(evalSet, cfg).cache()
-    val nEval = evalSigs.count()
-    if (nEval == 0L) {
-      // Short-circuit BEFORE any join is built: the candidate plan would
-      // explicitly broadcast an EMPTY long-keyed relation — the
-      // phantom-broadcast shape this runtime accounts ~513 MiB for
-      // (BENCH/BASELINE.md; same guard as IncrementalDedup's zero-pair path).
-      evalSigs.unpersist(blocking = false)
-      import spark.implicits._
-      return (Seq.empty[(Long, Long, Double)].toDF("doc_id", "eval_id", "jaccard"), Seq.empty)
-    }
-
-    // Candidates: corpus bands probed by the eval band table. One narrow
-    // text→sig→band pass over the corpus; with the broadcast engaged the
-    // only corpus-wide exchange in the WHOLE operator is the pair-dedup
-    // repartition below, which is O(candidates), not O(corpus).
-    val corpusBands = Dedup.bands(Dedup.signatures(corpus, cfg), cfg)
+    val spark = evalSigs.sparkSession
     val evalBands = Dedup.bands(evalSigs, cfg)
       .select(col("id").as("eval_id"), col("band_hash"))
     val evalSide =
@@ -105,24 +107,15 @@ object Decontaminate {
     if (nPairs == 0L) {
       pairs.unpersist(blocking = false)
       evalSigs.unpersist(blocking = false)
-      import spark.implicits._
-      return (Seq.empty[(Long, Long, Double)].toDF("doc_id", "eval_id", "jaccard"), Seq.empty)
+      return emptyResult(spark)
     }
 
-    // Verify: exact Jaccard on the candidate pairs. Corpus shingles are
-    // RE-DERIVED from the pruned docs' text (O(pairs) hashing — shingling
-    // is a pure function of text) behind a broadcast id probe when the
-    // pair set is sparse; the fallback sort-merge covers the degenerate
-    // dense case. Eval shingles come from the cached tiny side.
+    // Verify: exact Jaccard on the candidate pairs — O(pairs) via the
+    // broadcast id probe when sparse, corpus-wide merge join when dense.
     val corpusSh =
-      if (nPairs <= pruneIdLimit) {
-        val ids = pairs.select(col("doc_id").as("id")).distinct()
-        corpus.join(broadcast(ids), "id")
-          .select(col("id").as("doc_id"), Dedup.shingleHashes(cfg)(col("text")).as("sh_a"))
-      } else
-        Dedup.signatures(corpus, cfg)
-          .select(col("id").as("doc_id"), col("shingles").as("sh_a"))
-          .hint("merge")
+      if (nPairs <= pruneIdLimit)
+        prunedShingles(pairs.select(col("doc_id").as("id")).distinct())
+      else denseShingles()
     val evalSh = evalSigs.select(col("id").as("eval_id"), col("shingles").as("sh_b"))
     // measured, not doc-count-estimated: the agg runs over the cached tiny
     // side (one cheap job) — an eval set of long documents can be GBs of
@@ -139,6 +132,77 @@ object Decontaminate {
         call_function("graft_jaccard_sorted", col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= cfg.threshold)
     (out, Seq(evalSigs, pairs))
+  }
+
+  /** Eval signatures cached + counted (the count materializes the cache,
+    * drives every broadcast decision, and gates the empty short-circuit —
+    * building the candidate plan for an empty eval set would explicitly
+    * broadcast an EMPTY long-keyed relation, the phantom-broadcast shape
+    * this runtime accounts ~513 MiB for; BENCH/BASELINE.md). */
+  private def evalSide(evalSet: DataFrame, cfg: DedupConfig): (DataFrame, Long) = {
+    val evalSigs = Dedup.signatures(evalSet, cfg).cache()
+    val nEval = evalSigs.count()
+    if (nEval == 0L) evalSigs.unpersist(blocking = false)
+    (evalSigs, nEval)
+  }
+
+  /** Contaminated pairs plus every DataFrame the plan pinned (caller
+    * unpersists after materializing — the [[Dedup.nearDupPairsWithHandle]]
+    * contract). Both inputs carry the pipeline's (id LONG, text STRING)
+    * schema. */
+  def pairsWithHandle(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      cfg: DedupConfig): (DataFrame, Seq[DataFrame]) = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExpressions.register(spark)
+    val (evalSigs, nEval) = evalSide(evalSet, cfg)
+    if (nEval == 0L) return emptyResult(spark)
+    flagAgainstEval(
+      evalSigs, nEval,
+      // one narrow text→sig→band pass over the corpus; with the broadcast
+      // engaged the only corpus-wide exchange in the WHOLE operator is the
+      // O(candidates) pair-dedup repartition
+      corpusBands = Dedup.bands(Dedup.signatures(corpus, cfg), cfg),
+      // shingles RE-DERIVED from the pruned docs' text (O(pairs) hashing —
+      // shingling is a pure function of text) behind a broadcast id probe
+      prunedShingles = ids => corpus.join(broadcast(ids), "id")
+        .select(col("id").as("doc_id"), Dedup.shingleHashes(cfg)(col("text")).as("sh_a")),
+      denseShingles = () => Dedup.signatures(corpus, cfg)
+        .select(col("id").as("doc_id"), col("shingles").as("sh_a"))
+        .hint("merge"),
+      cfg)
+  }
+
+  /** Decontamination over a COMPLETED (possibly incremented)
+    * [[CheckpointedDedup]] store: the corpus side comes entirely from the
+    * store's checkpoints — `bands` (16 B/row, probed by the eval
+    * broadcast), `docs` only for the O(pairs) pruned verify, `shingles`
+    * only on the dense fallback — so NO corpus text is re-hashed. The
+    * store is validated first ([[IncrementalDedup.validateStore]]): every
+    * stage must exist under exactly this cfg's hash family, and every
+    * committed increment must carry the same family tag. */
+  def pairsFromCheckpoints(
+      spark: SparkSession,
+      baseDir: String,
+      evalSet: DataFrame,
+      cfg: DedupConfig): (DataFrame, Seq[DataFrame]) = {
+    graft.functions.GraftExpressions.register(spark)
+    IncrementalDedup.validateStore(baseDir, cfg)
+    val (evalSigs, nEval) = evalSide(evalSet, cfg)
+    if (nEval == 0L) return emptyResult(spark)
+    flagAgainstEval(
+      evalSigs, nEval,
+      corpusBands = IncrementalDedup.readAll(spark, baseDir, "bands"),
+      prunedShingles = ids => IncrementalDedup.readAll(spark, baseDir, "docs")
+        .join(broadcast(ids), "id")
+        .select(col("id").as("doc_id"), Dedup.shingleHashes(cfg)(col("text")).as("sh_a")),
+      // the dense fallback reads the shingle CHECKPOINT (still no re-hash;
+      // the O(corpus) scan+sort is the honest cost of a dense pair set)
+      denseShingles = () => IncrementalDedup.readAll(spark, baseDir, "shingles")
+        .select(col("id").as("doc_id"), col("shingles").as("sh_a"))
+        .hint("merge"),
+      cfg)
   }
 
   /** Convenience form; leaves the pinned relations cached until the caller

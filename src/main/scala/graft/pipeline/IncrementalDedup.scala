@@ -144,47 +144,52 @@ object IncrementalDedup {
     TableIO.read(spark, dir)
   }
 
-  def run(
-      spark: SparkSession,
-      newPages: DataFrame,
-      cfg: DedupConfig,
-      baseDir: String): IncReport = {
-    // the base run must be complete AND written under THIS cfg: recompute
-    // the base run's chained stage hashes from its docs manifest (which
-    // carries the input-fingerprinted root hash) and require each stage's
-    // manifest to match. A cfg with a different seed/numHashes/bands would
-    // silently union signatures from different hash families — cross-split
-    // near-dups would never collide (ADVICE r3).
+  /** The store-consistency gate, shared by [[run]] and by cross-operator
+    * readers of the store ([[Decontaminate.pairsFromCheckpoints]]):
+    *
+    *  - the base run must be complete AND written under THIS cfg — the
+    *    chained stage hashes are recomputed from the docs manifest (which
+    *    carries the input-fingerprinted root hash) and every stage's
+    *    manifest must match. A cfg with a different seed/numHashes/bands
+    *    would silently mix hash families — cross-split near-dups would
+    *    never collide (ADVICE r3);
+    *  - every committed increment must carry the SAME family tag (the
+    *    cfg-derived chain tip): validating only the base dir would miss a
+    *    base rewritten in place under a new cfg, whose fresh manifests
+    *    pass the chain check while old increments still hold the old hash
+    *    family (review r4).
+    *
+    * Returns the family tag. */
+  private[pipeline] def validateStore(baseDir: String, cfg: DedupConfig): String = {
     val baseDocs = TableIO.readManifest(s"$baseDir/docs").getOrElse(
       throw new IllegalArgumentException(
         s"base run at $baseDir is missing stage 'docs' — run CheckpointedDedup first"))
-    for ((stage, hash) <- CheckpointedDedup.chainFrom(baseDocs.configHash, cfg)
-         if stage != "clusters")
+    val chain = CheckpointedDedup.chainFrom(baseDocs.configHash, cfg)
+    for ((stage, hash) <- chain if stage != "clusters")
       require(TableIO.isComplete(s"$baseDir/$stage", hash),
         s"base stage '$stage' at $baseDir is missing or was written under a " +
-          s"DIFFERENT config than the supplied cfg ($cfg) — an increment must " +
+          s"DIFFERENT config than the supplied cfg ($cfg) — a store consumer must " +
           s"use the base run's exact shingle/signature/banding config")
-
-    // FAMILY tag: the cfg-derived chain tip (covers shingle/signature/
-    // banding/threshold config AND the base input fingerprint via h0).
-    // Every increment stage manifest records it, and prior increments must
-    // carry the SAME tag: validating only the base dir would miss a base
-    // rewritten in place under a new cfg, whose fresh manifests pass the
-    // chain check while the old increments still hold the old hash family
-    // (review r4) — exactly the silent family mix the gate exists to stop.
-    val family = CheckpointedDedup.chainFrom(baseDocs.configHash, cfg)
-      .toMap.apply("verified_pairs")
-
-    // every prior increment must be committed (fail fast naming a partial
-    // one — see requireCommitted) AND belong to this config family
-    val priorInc = committedIncDirs(baseDir)
-    for (inc <- priorInc) {
+    val family = chain.toMap.apply("verified_pairs")
+    for (inc <- committedIncDirs(baseDir)) {
       val fam = TableIO.readManifest(s"$inc/signatures").flatMap(_.extra.get("family"))
       require(fam.contains(family),
         s"increment at $inc was written under a DIFFERENT config family " +
           s"(${fam.getOrElse("<none recorded>")} vs expected $family) — its " +
           s"signatures cannot be unioned with this run's hash family")
     }
+    family
+  }
+
+  def run(
+      spark: SparkSession,
+      newPages: DataFrame,
+      cfg: DedupConfig,
+      baseDir: String): IncReport = {
+    val family = validateStore(baseDir, cfg)
+    // every prior increment is committed (validateStore failed fast on a
+    // partial or family-mixed one)
+    val priorInc = committedIncDirs(baseDir)
     // k = max existing number + 1, NOT count + 1: the gap check above makes
     // them equal today, but max+1 stays correct the moment the sequence rule
     // ever changes, and never collides with a surviving higher-numbered dir

@@ -104,6 +104,50 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(cleaned == trainIds.diff(flaggedDocs))
   }
 
+  test("pairsFromCheckpoints ≡ in-memory pairs, base + increment, no text re-hash path") {
+    import graft.pipeline.{CheckpointedDedup, IncrementalDedup}
+    import graft.sources.TableIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon-ckpt").toString
+    val all = PagesGen.pages(spark, 160, seed = 11L, partitions = 4)
+    CheckpointedDedup.run(spark, all.where(col("id") < 120).drop("id"), cfg, dir)
+
+    def evalSlice(corpusDf: org.apache.spark.sql.DataFrame) =
+      // eval docs = copies of store docs under fresh ids ⇒ guaranteed
+      // cross near-dups (J = 1 to their sources)
+      corpusDf.orderBy("id").limit(20)
+        .select((col("id") + lit(1000000007L)).as("id"), col("text"))
+
+    val baseDocs = TableIO.read(spark, s"$dir/docs").select(col("id"), col("text"))
+    val ev = evalSlice(baseDocs)
+    val fromCkpt = graft.pipeline.Decontaminate
+      .pairsFromCheckpoints(spark, dir, ev, cfg)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = graft.pipeline.Decontaminate.pairs(baseDocs, ev, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromCkpt.nonEmpty)
+    assert(fromCkpt == inMem)
+
+    // extend the store with an increment: the checkpoint read must cover
+    // the union (readAll bands/docs), still equal to in-memory over union
+    IncrementalDedup.run(spark, all.where(col("id") >= 120).drop("id"), cfg, dir)
+    val unionDocs = IncrementalDedup.readAll(spark, dir, "docs").select(col("id"), col("text"))
+    val ev2 = evalSlice(unionDocs)
+    val fromCkpt2 = graft.pipeline.Decontaminate
+      .pairsFromCheckpoints(spark, dir, ev2, cfg)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem2 = graft.pipeline.Decontaminate.pairs(unionDocs, ev2, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromCkpt2.nonEmpty)
+    assert(fromCkpt2 == inMem2)
+
+    // a different config family must fail fast, never silently mix hashes
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Decontaminate
+        .pairsFromCheckpoints(spark, dir, ev2, cfg.copy(seed = 43L))._1.count()
+    }
+    assert(e.getMessage.contains("DIFFERENT config"))
+  }
+
   test("plan: eval bands broadcast — no corpus-wide shuffle before the candidate join") {
     val (out, _) = Decontaminate.pairsWithHandle(trainPart, evalPart, cfg)
     val plan = out.queryExecution.executedPlan.toString
