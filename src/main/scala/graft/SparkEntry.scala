@@ -153,6 +153,55 @@ object SparkEntry {
       call_function("graft_shingle_hashes", _, lit(3), lit(lshConfig.seed)),
       dfCap = Some(dfCap))
 
+  /** Shared-winnowing-fingerprint near-dup pairs over a pluggable
+    * fingerprint column. Scale posture mirrors [[jaccardPairsBy]]:
+    * fingerprints in more than dfCap docs are dropped from sizes AND
+    * intersections (one boilerplate fingerprint of df d is an O(d²) join
+    * bucket; the cap is part of the semantics, replicated in the oracle);
+    * the df gate join is forced shuffle_hash (unbounded key set — no
+    * broadcast flips); the self-join is sort-merge (AQE skew-splittable);
+    * per-doc sizes re-join by shuffle_hash. All-integer counts + one final
+    * division → bitwise-oracleable. */
+  private def winnowPairsBy(
+      d: DataFrame, fpCol: Column, dfCap: Long = 50L, minOverlap: Double = 0.2): DataFrame = {
+    graft.functions.GraftExpressions.register(d.sparkSession)
+    // cached: the per-position winnow projection is the dominant CPU and
+    // appears on 4 plan branches (df census + both self-join sides + the
+    // size aggregate) — the SimHash chunk-relation lesson (r3).
+    // Bench/Verify clearCache() between queries releases it.
+    val fpAll = d.select(col("doc_id"), explode(fpCol).as("fp")).cache()
+    val fps = fpAll.join(
+      fpAll.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= dfCap).select("fp")
+        .hint("shuffle_hash"),
+      "fp")
+    val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    fps.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")).hint("merge"), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2) // integer pre-filter before the size joins
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double")).as("overlap"))
+      // planted near-dups sit at overlap ≥ 0.5 in this corpus; incidental
+      // 8-gram collisions at < 0.2 — exact-int division, bitwise-safe gate
+      .where(col("overlap") >= minOverlap)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Production winnowing near-dup pairs: seeded Rabin–Karp ROLLING gram
+    * hashes (O(1) per position — md5 digests the whole k-gram at every
+    * position) with the same selection, df cap and overlap gate as the
+    * oracle-gated q_winnow_pairs. */
+  def winnowPairs(
+      d: DataFrame, k: Int = 8, w: Int = 16, seed: Long = 42L,
+      dfCap: Long = 50L, minOverlap: Double = 0.2): DataFrame =
+    winnowPairsBy(d,
+      call_function("graft_winnow", col("text"), lit(k), lit(w), lit(seed)),
+      dfCap, minOverlap)
+
   /** Flagship: LSH near-duplicate pairs on the smoke corpus; driver checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Dedup.nearDupPairs(docsAsCorpus(spark, "/root/testdata/sf0.001"), lshConfig)
@@ -182,6 +231,27 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
         .orderBy("doc_id")),
+    "q_winnow_fingerprints" -> ((s, dir) => {
+      // Winnowing (MOSS) local fingerprints: char-8-gram hashes, window-16
+      // minima, distinct per doc — guarantees a shared fingerprint for any
+      // shared substring of ≥ 23 chars (w + k − 1). Gate form hashes grams
+      // with md5 so DuckDB recomputes the identical values; the production
+      // kernel (graft_winnow) is a seeded Rabin–Karp ROLLING hash, O(1) per
+      // position — same selection, pinned by WinnowSpec.
+      graft.functions.GraftExpressions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("graft_winnow_md5", col("text"), lit(8), lit(16))).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
+    "q_winnow_pairs" -> ((s, dir) =>
+      // Near-dup pairs by SHARED winnowing fingerprints (the MOSS report
+      // shape) — the third candidate family next to MinHash banding and
+      // SimHash chunking. md5 gram hashes = the cross-engine gate form; the
+      // production entry [[winnowPairs]] runs the same plan over the seeded
+      // Rabin–Karp rolling kernel.
+      winnowPairsBy(docs(s, dir),
+        call_function("graft_winnow_md5", col("text"), lit(8), lit(16)))),
     "q_token_stats" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -555,6 +625,40 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin,
       "q_fingerprint" ->
         raw"SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
+      // winnowing: gram hash = md5long15 of the char-8-gram, fingerprints =
+      // distinct minima over every window of 16 consecutive gram hashes
+      // (docs with <16 grams get the single min over all grams — the
+      // `i <= greatest(1, G-15)` clause keeps exactly the kernel's windows)
+      "q_winnow_fingerprints" ->
+        s"""WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+           |             ${h15("substring(text, CAST(i AS INTEGER), 8)")} AS h
+           |           FROM documents, UNNEST(list_transform(range(1, greatest(length(text)-6, 1)), x -> x)) u(i)
+           |           WHERE text IS NOT NULL),
+           |win AS (SELECT doc_id, i,
+           |          min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS f,
+           |          count(*) OVER (PARTITION BY doc_id) AS gc
+           |        FROM g)
+           |SELECT DISTINCT doc_id, f AS fp FROM win WHERE i <= greatest(1, gc - 15) ORDER BY doc_id, fp""".stripMargin,
+      "q_winnow_pairs" ->
+        s"""WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+           |             ${h15("substring(text, CAST(i AS INTEGER), 8)")} AS h
+           |           FROM documents, UNNEST(list_transform(range(1, greatest(length(text)-6, 1)), x -> x)) u(i)
+           |           WHERE text IS NOT NULL),
+           |win AS (SELECT doc_id, i,
+           |          min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS f,
+           |          count(*) OVER (PARTITION BY doc_id) AS gc
+           |        FROM g),
+           |fp0 AS (SELECT DISTINCT doc_id, f AS fp FROM win WHERE i <= greatest(1, gc - 15)),
+           |keep AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 50),
+           |fps AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN keep ON keep.fp = fp0.fp),
+           |sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |ov AS (SELECT doc_a, doc_b, c AS n_shared,
+           |         CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) AS overlap
+           |       FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+           |       WHERE c >= 2)
+           |SELECT doc_a, doc_b, n_shared, overlap FROM ov WHERE overlap >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
       "q_token_stats" ->
         """SELECT doc_id,
           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

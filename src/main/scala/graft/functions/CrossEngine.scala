@@ -78,6 +78,15 @@ object CrossEngine {
       ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
 
+  /** md5long(s, 15) over raw UTF-8 bytes without the hex round trip —
+    * value-identical to md5long(new String(bytes, UTF_8)) (CrossEngineSpec);
+    * the per-gram hash of the winnowing kernel. */
+  def md5long15(bytes: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    digestLong15(md.digest(bytes))
+  }
+
   /** All k md5-lane minhash minima in ONE pass over the gram array — value-
     * identical to `groupBy(lane).agg(min(md5long(lane || ":" || gram)))` (min
     * is duplicate-idempotent, so distinctness of grams is not required), but

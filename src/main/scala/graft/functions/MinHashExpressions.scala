@@ -324,5 +324,16 @@ object GraftExpressions {
       "graft_len_sum",
       exprs => LenSumExpr(exprs(0)),
       "built-in")
+    // winnowing fingerprints: md5 gate form (3-arg) and seeded rolling-hash
+    // production form (4-arg)
+    registry.createOrReplaceTempFunction(
+      "graft_winnow_md5",
+      exprs => WinnowExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2)), 0L, md5Mode = true),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_winnow",
+      exprs => WinnowExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2)), lit2Long(exprs(3)),
+        md5Mode = false),
+      "built-in")
   }
 }

@@ -337,6 +337,29 @@ class CodegenStrictSpec extends AnyFunSuite {
       r.getInt(0) == graft.core.SuffixArray.lcsLength(r.getString(1), r.getString(2))))
   }
 
+  test("graft_winnow_md5 / graft_winnow compile strictly and match the kernels") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "", "short", "aaaaaaaaaaaaaaaaaaaaaaaa", // degenerate: all grams equal
+      "ünïcode gräms with ümläuts everywhere here")
+    val rows = strictCodegen {
+      cases.toDF("t")
+        .select(
+          call_function("graft_winnow_md5", col("t"), lit(8), lit(4)).as("m"),
+          call_function("graft_winnow", col("t"), lit(8), lit(4), lit(42L)).as("r"),
+          col("t"))
+        .collect()
+    }
+    rows.foreach { r =>
+      val t = UTF8String.fromString(r.getString(2))
+      assert(r.getSeq[Long](0) == graft.functions.WinnowKernel.md5Winnow(t, 8, 4).toLongArray().toSeq)
+      assert(r.getSeq[Long](1) ==
+        graft.functions.WinnowKernel.rollingWinnow(t, 8, 4, 42L).toLongArray().toSeq)
+    }
+  }
+
   test("graft_lex_count with a NON-LITERAL lexicon is a clear analysis error") {
     import spark.implicits._
     graft.functions.GraftExpressions.register(spark)

@@ -41,4 +41,24 @@ class QueriesSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((101L, 102L)))
   }
+
+  test("production rolling winnowPairs finds the md5 gate form's strong pairs") {
+    // The two kernels are different hash FAMILIES over the same gram
+    // sequence, so fingerprint sets — and borderline overlap values — differ
+    // (measured: 3-5 knife-edge pairs near the 0.2 gate flip between
+    // families at sf0.001). The planted near-dup pairs sit at overlap ≥ 0.5,
+    // far from the gate: each family must report every pair the OTHER
+    // family scores ≥ 0.5 (mutual recall of strong pairs).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "overlap").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val md5Pairs = run(graft.SparkEntry.queries("q_winnow_pairs")(spark, dir))
+    val rolling = run(graft.SparkEntry.winnowPairs(docs))
+    spark.catalog.clearCache() // both forms pin their fingerprint relation
+    def strong(m: Map[(Long, Long), Double]) = m.collect { case (p, ov) if ov >= 0.5 => p }.toSet
+    assert(strong(md5Pairs).nonEmpty)
+    assert(strong(md5Pairs).subsetOf(rolling.keySet))
+    assert(strong(rolling).subsetOf(md5Pairs.keySet))
+  }
 }
