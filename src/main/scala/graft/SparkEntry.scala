@@ -110,31 +110,43 @@ object SparkEntry {
     * O(d²) join bucket (at sf0.1 the uncapped char-5-gram form ran 266 s;
     * capped: ~2 s); true near-dup shingles have tiny df, so near-dup
     * Jaccard is essentially unchanged. */
+  /** Shared df-capped pair-count topology over a (doc_id, s) item relation
+    * — ONE copy of the tuned scale posture for every set-overlap pair
+    * family (word/char shingles, winnow fingerprints): the df gate join is
+    * forced shuffle_hash (unbounded key set — no broadcast flips), the item
+    * self-join is sort-merge (df-skewed key; AQE can skew-split it, a
+    * broadcast of it is unbounded), and per-doc sizes re-join by
+    * shuffle_hash (one row per CORPUS doc — unbounded at 10^12 docs).
+    * Returns (pair counts c per (doc_a, doc_b), per-doc sizes n). */
+  private def pairCounts(items: DataFrame, dfCap: Option[Long]): (DataFrame, DataFrame) = {
+    val sh = dfCap match {
+      case Some(cap) =>
+        items.join(
+          items.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
+            .hint("shuffle_hash"),
+          "s")
+      case None => items
+    }
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("merge"), Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    (inter, sz)
+  }
+
+  private def joinSizes(inter: DataFrame, sz: DataFrame): DataFrame =
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
+
   private def jaccardPairsBy(
       d: DataFrame, threshold: Double, shingles: Column => Column,
       dfCap: Option[Long] = None): DataFrame = {
     graft.functions.GraftExpressions.register(d.sparkSession)
-    val shAll = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-    val sh = dfCap match {
-      case Some(cap) =>
-        shAll.join(
-          shAll.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
-            .hint("shuffle_hash"), // unbounded key set — no broadcast flips
-          "s")
-      case None => shAll
-    }
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-      // shingle self-join: corpus×shingles-sized side, df-skewed key →
-      // sort-merge (AQE can skew-split it; a broadcast of it is unbounded)
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("merge"), Seq("s"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    // per-doc sizes are one row per CORPUS doc — narrow, uniform ids:
-    // shuffle-hash, not broadcast (unbounded at 10^12 docs)
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
+    val (inter, sz) = pairCounts(
+      d.select(col("doc_id"), explode(shingles(col("text"))).as("s")), dfCap)
+    joinSizes(inter, sz)
       .select(
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("jaccard"))
@@ -154,14 +166,11 @@ object SparkEntry {
       dfCap = Some(dfCap))
 
   /** Shared-winnowing-fingerprint near-dup pairs over a pluggable
-    * fingerprint column. Scale posture mirrors [[jaccardPairsBy]]:
-    * fingerprints in more than dfCap docs are dropped from sizes AND
-    * intersections (one boilerplate fingerprint of df d is an O(d²) join
-    * bucket; the cap is part of the semantics, replicated in the oracle);
-    * the df gate join is forced shuffle_hash (unbounded key set — no
-    * broadcast flips); the self-join is sort-merge (AQE skew-splittable);
-    * per-doc sizes re-join by shuffle_hash. All-integer counts + one final
-    * division → bitwise-oracleable. */
+    * fingerprint column — the same [[pairCounts]] topology as the shingle
+    * Jaccard family: fingerprints in more than dfCap docs are dropped from
+    * sizes AND intersections (one boilerplate fingerprint of df d is an
+    * O(d²) join bucket; the cap is part of the semantics, replicated in the
+    * oracle). All-integer counts + one final division → bitwise-oracleable. */
   private def winnowPairsBy(
       d: DataFrame, fpCol: Column, dfCap: Long = 50L, minOverlap: Double = 0.2): DataFrame = {
     graft.functions.GraftExpressions.register(d.sparkSession)
@@ -169,22 +178,14 @@ object SparkEntry {
     // appears on 4 plan branches (df census + both self-join sides + the
     // size aggregate) — the SimHash chunk-relation lesson (r3).
     // Bench/Verify clearCache() between queries releases it.
-    val fpAll = d.select(col("doc_id"), explode(fpCol).as("fp")).cache()
-    val fps = fpAll.join(
-      fpAll.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= dfCap).select("fp")
-        .hint("shuffle_hash"),
-      "fp")
-    val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    fps.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp")).hint("merge"), Seq("fp"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= 2) // integer pre-filter before the size joins
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        (col("n_shared").cast("double") /
-          (col("na") + col("nb") - col("n_shared")).cast("double")).as("overlap"))
+    val fpAll = d.select(col("doc_id"), explode(fpCol).as("s")).cache()
+    val (inter, sz) = pairCounts(fpAll, Some(dfCap))
+    joinSizes(
+      inter.where(col("c") >= 2), // integer pre-filter before the size joins
+      sz)
+      .select(col("doc_a"), col("doc_b"), col("c").as("n_shared"),
+        (col("c").cast("double") /
+          (col("na") + col("nb") - col("c")).cast("double")).as("overlap"))
       // planted near-dups sit at overlap ≥ 0.5 in this corpus; incidental
       // 8-gram collisions at < 0.2 — exact-int division, bitwise-safe gate
       .where(col("overlap") >= minOverlap)

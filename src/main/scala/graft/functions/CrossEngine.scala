@@ -79,7 +79,7 @@ object CrossEngine {
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
 
   /** md5long(s, 15) over raw UTF-8 bytes without the hex round trip —
-    * value-identical to md5long(new String(bytes, UTF_8)) (CrossEngineSpec);
+    * equality with the string path is pinned directly in CrossEngineSpec;
     * the per-gram hash of the winnowing kernel. */
   def md5long15(bytes: Array[Byte]): Long = {
     val md = mdLocal.get()

@@ -26,9 +26,12 @@ import graft.core.Rng
   *  - [[WinnowKernel.rollingWinnow]]: gram hash = seeded Rabin–Karp
   *    polynomial rolling hash mod 2^61−1 — O(1) per position instead of
   *    O(k) (md5 digests the whole gram at every position), the production
-  *    kernel for 100 TB corpora. Statistical contract (uniformity over the
-  *    gram population) is pinned by WinnowSpec; both kernels select the
-  *    SAME positions structure, differing only in hash family.
+  *    kernel for 100 TB corpora. The two kernels share [[winnowSelect]]
+  *    but are different hash FAMILIES: each window's argmin depends on the
+  *    hash values, so the selected positions — and borderline pair
+  *    overlaps — differ across families (QueriesSpec measures 3-5
+  *    knife-edge pairs flipping at the 0.2 gate at sf0.001). Both satisfy
+  *    the winnowing guarantee and density bounds (WinnowSpec).
   *
   * Contract (both kernels, mirrored by the UDF-era shingle expressions):
   * null text → EMPTY set; fewer than k code points → empty set; fewer grams
@@ -83,6 +86,10 @@ object WinnowKernel {
     * covers grams j..min(j+w−1, g−1)), deduped and sorted ascending.
     * Monotonic-deque: O(g) comparisons total, no per-window rescan. */
   def winnowSelect(h: Array[Long], w: Int): ArrayData = {
+    // WinnowExpr checks k/w at analysis time; direct kernel callers need
+    // the same guard — w=0 under-evicts the deque into an out-of-bounds
+    // read or a phantom 0L fingerprint
+    require(w >= 1, s"winnow window must be ≥ 1, got $w")
     val g = h.length
     if (g == 0) return Empty
     val nWin = math.max(1, g - w + 1)
@@ -113,6 +120,7 @@ object WinnowKernel {
 
   /** Gate form: md5 gram hashes (cross-engine, see class doc). */
   def md5Winnow(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1, s"gram length must be ≥ 1, got $k")
     if (text == null) return Empty
     val s = text.toString
     val offs = cpOffsets(s)
@@ -131,6 +139,7 @@ object WinnowKernel {
     * code points — one mulmod + one add per position after the first gram. */
   def rollingWinnow(
       text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int, seed: Long): ArrayData = {
+    require(k >= 1, s"gram length must be ≥ 1, got $k")
     if (text == null) return Empty
     val s = text.toString
     val offs = cpOffsets(s)

@@ -24,6 +24,14 @@ class CrossEngineSpec extends AnyFunSuite {
     assert(got.toSeq == inputs.map(s => CrossEngine.md5long(s)))
   }
 
+  test("md5long15 over raw UTF-8 bytes equals the hex-string path") {
+    val inputs = Seq("", "a", "gram tex", "ünïcode gräm", "0:tok1 tok2 tok3",
+      new String(Character.toChars(0x1D11E)) + "clef")
+    inputs.foreach { s =>
+      assert(CrossEngine.md5long15(s.getBytes("UTF-8")) == CrossEngine.md5long(s), s"input '$s'")
+    }
+  }
+
   test("md5MinHash kernel equals the per-lane md5long string path") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String

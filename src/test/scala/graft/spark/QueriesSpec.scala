@@ -53,12 +53,13 @@ class QueriesSpec extends AnyFunSuite {
     def run(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b", "overlap").collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val md5Pairs = run(graft.SparkEntry.queries("q_winnow_pairs")(spark, dir))
-    val rolling = run(graft.SparkEntry.winnowPairs(docs))
-    spark.catalog.clearCache() // both forms pin their fingerprint relation
-    def strong(m: Map[(Long, Long), Double]) = m.collect { case (p, ov) if ov >= 0.5 => p }.toSet
-    assert(strong(md5Pairs).nonEmpty)
-    assert(strong(md5Pairs).subsetOf(rolling.keySet))
-    assert(strong(rolling).subsetOf(md5Pairs.keySet))
+    try {
+      val md5Pairs = run(graft.SparkEntry.queries("q_winnow_pairs")(spark, dir))
+      val rolling = run(graft.SparkEntry.winnowPairs(docs))
+      def strong(m: Map[(Long, Long), Double]) = m.collect { case (p, ov) if ov >= 0.5 => p }.toSet
+      assert(strong(md5Pairs).nonEmpty)
+      assert(strong(md5Pairs).subsetOf(rolling.keySet))
+      assert(strong(rolling).subsetOf(md5Pairs.keySet))
+    } finally spark.catalog.clearCache() // both forms pin their fingerprint relation
   }
 }

@@ -74,11 +74,12 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
-  test("both kernels select the same POSITIONS (hash family is the only difference)") {
-    // On a text whose grams are all distinct, selection is order-determined;
-    // fingerprint COUNTS can still differ across hash families (different
-    // gram orderings), but both must respect the winnowing density bound and
-    // the cardinality bound nWin.
+  test("both kernels respect the winnowing density/cardinality bounds") {
+    // The kernels are different hash FAMILIES, so the selected positions
+    // (each window's argmin) differ — there is deliberately no cross-kernel
+    // selection-equality contract. What both must satisfy: at most one
+    // fingerprint per window (≤ nWin) and at least one per w consecutive
+    // windows (a single hash can be the min of at most w windows).
     val text = rnd.alphanumeric.take(400).mkString
     val k = 8; val w = 16
     val g = text.length - k + 1
@@ -102,6 +103,15 @@ class WinnowSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------- contract edges
+
+  test("kernel-level guards: w < 1 and k < 1 fail fast for direct callers") {
+    // the expression layer checks k/w at analysis time; the kernels are
+    // public and must not crash with an out-of-bounds read or emit a
+    // phantom 0L fingerprint when called directly with w=0
+    intercept[IllegalArgumentException] { WinnowKernel.winnowSelect(Array(1L), 0) }
+    intercept[IllegalArgumentException] { WinnowKernel.md5Winnow(u8("abcdefgh"), 0, 4) }
+    intercept[IllegalArgumentException] { WinnowKernel.rollingWinnow(u8("abcdefgh"), 0, 4, 1L) }
+  }
 
   test("null text → empty set; text shorter than k → empty set") {
     assert(WinnowKernel.md5Winnow(null, 8, 16).numElements() == 0)
