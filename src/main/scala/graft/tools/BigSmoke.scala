@@ -150,6 +150,24 @@ object BigSmoke {
       (w, n)
     }
 
+    // Winnowing near-dup pairs at scale (production rolling-hash kernel):
+    // the third candidate family's scale leg — fingerprint CPU is O(chars)
+    // per doc, the df-cap gate bounds the self-join, and the cached
+    // fingerprint relation is ~16 B/row.
+    val winnowWall = {
+      val docsC = spark.read.parquet(docsPath)
+      // JIT warm-up of the rolling kernel + join shape on the small table
+      graft.SparkEntry.winnowPairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), k = 8, w = 16).count()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.winnowPairs(docsC, k = 8, w = 16).count()
+      val w = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[bigsmoke] winnow_pairs(k=8,w=16) $w%6.1f s  ($n pairs)")
+      (w, n)
+    }
+
     // skew evidence: census shape on both banding paths
     val cfg = graft.SparkEntry.lshConfig
     val docs = spark.read.parquet(docsPath).select(col("doc_id").as("id"), col("text"))
@@ -171,7 +189,8 @@ object BigSmoke {
     println(s"""{"metric":"bigsmoke","docs":$nDocs,"vecs":$nVecs,"cores":$cores,""" +
       s""""queries":{$qs},"maxBucket":${mhCensus.getLong(0)},""" +
       s""""cappedBuckets":${mhCensus.getLong(1)},""" +
-      s""""decontaminate":{"sec":${deconWall._1},"pairs":${deconWall._2}}$skewJson}""")
+      s""""decontaminate":{"sec":${deconWall._1},"pairs":${deconWall._2}},""" +
+      s""""winnowPairs":{"sec":${winnowWall._1},"pairs":${winnowWall._2}}$skewJson}""")
     spark.stop()
   }
 }
