@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{CheckpointedDedup, Decontaminate, DedupConfig, DocIds, IncrementalDedup}
+
+/** Production CLI — the spark-submit surface of the library (north rule:
+  * "run via spark-submit on a multi-executor cluster"). Wraps the three
+  * pipeline entry points a training-data operator actually schedules:
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar \
+  *   dedup         <pages.parquet> <storeDir>            # run/resume
+  *   increment     <storeDir> <newPages.parquet>         # daily crawl
+  *   decontaminate <storeDir> <eval.parquet> <outDir>    # benchmark scrub
+  * }}}
+  *
+  * Config flags (anywhere on the command line, all optional):
+  * `--seed=N --shingle-words=N --char-shingles=N --num-hashes=N --bands=N
+  * --threshold=X --max-bucket=N --salt-window=N`. The checkpointed store
+  * records the config family; `increment`/`decontaminate` validate the
+  * supplied flags against it and fail fast on a mismatch rather than
+  * silently mixing hash families.
+  *
+  * Under spark-submit the cluster's master/executor settings apply
+  * untouched (`SparkSession.builder().getOrCreate()`); without a master
+  * (local development, `sbt runMain`) it falls back to the
+  * environment-tuned local session. Tables are plain parquet directories:
+  * `pages` needs at least (url STRING, text STRING) — extra columns like
+  * warc_ts/html/lang pass through the docs checkpoint's input fingerprint
+  * untouched; `eval` needs (id LONG, text STRING) or (url, text) (ids are
+  * then derived the same collision-checked way as corpus ids).
+  */
+object Main {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Main [--flags] <command> <args>
+        |  dedup         <pages.parquet> <storeDir>
+        |  increment     <storeDir> <newPages.parquet>
+        |  decontaminate <storeDir> <eval.parquet> <outDir>
+        |flags: --seed=N --shingle-words=N --char-shingles=N --num-hashes=N
+        |       --bands=N --threshold=X --max-bucket=N --salt-window=N""".stripMargin)
+    sys.exit(2)
+  }
+
+  private val KnownFlags = Seq("--seed", "--shingle-words", "--char-shingles",
+    "--num-hashes", "--bands", "--threshold", "--max-bucket", "--salt-window")
+
+  /** All flags are collected FIRST and the config constructed once —
+    * a copy-per-flag fold would trip DedupConfig's numHashes-divisible-by-
+    * bands invariant on valid flag sets whose intermediate states are
+    * invalid (e.g. --num-hashes=24 --bands=12 against the 42-band default). */
+  private[graft] def parseConfig(flags: Seq[String]): DedupConfig = {
+    val kv = flags.map { f =>
+      f.split("=", 2) match {
+        case Array(k, v) if KnownFlags.contains(k) => k -> v
+        case _ => System.err.println(s"unknown flag: $f"); usage()
+      }
+    }.toMap
+    val d = DedupConfig()
+    DedupConfig(
+      shingleWords = kv.get("--shingle-words").map(_.toInt).getOrElse(d.shingleWords),
+      charShingles = kv.get("--char-shingles").map(_.toInt).getOrElse(d.charShingles),
+      numHashes = kv.get("--num-hashes").map(_.toInt).getOrElse(d.numHashes),
+      bands = kv.get("--bands").map(_.toInt).getOrElse(d.bands),
+      threshold = kv.get("--threshold").map(_.toDouble).getOrElse(d.threshold),
+      seed = kv.get("--seed").map(_.toLong).getOrElse(d.seed),
+      maxBucket = kv.get("--max-bucket").map(_.toInt).getOrElse(d.maxBucket),
+      saltWindow = kv.get("--salt-window").map(_.toInt).getOrElse(d.saltWindow))
+  }
+
+  private def session(): SparkSession =
+    // spark-submit (and any cluster launcher) injects spark.master; honor
+    // the cluster config wholesale. The local fallback is the tuned dev
+    // session — never the other way around: hard-coding local[*] here would
+    // silently ignore a real cluster.
+    if (sys.props.contains("spark.master"))
+      SparkSession.builder().appName("graft")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    else GraftSession.get(Runtime.getRuntime.availableProcessors(), "graft")
+
+  /** Eval tables may come keyed by url (benchmark dumps) or already carry
+    * ids; either way the pipeline sees the (id, text) contract. */
+  private[graft] def asEval(df: DataFrame): DataFrame =
+    if (df.columns.contains("id")) df.select(col("id").cast("long").as("id"), col("text"))
+    else DocIds.assign(df).select(col("id"), col("text"))
+
+  def main(args: Array[String]): Unit = {
+    val (flags, pos) = args.toSeq.partition(_.startsWith("--"))
+    val cfg = parseConfig(flags)
+    pos match {
+      case Seq("dedup", pages, storeDir) =>
+        val spark = session()
+        val report = CheckpointedDedup.run(spark, spark.read.parquet(pages), cfg, storeDir)
+        report.stages.foreach(s => println(
+          f"[graft] stage ${s.name}%-15s ${if (s.recomputed) f"${s.millis / 1000.0}%8.1f s" else "  resumed"}"))
+        println(s"[graft] dedup done: ${report.docs} docs, " +
+          s"${report.verifiedPairs.count()} verified pairs, clusters at $storeDir/clusters")
+      case Seq("increment", storeDir, newPages) =>
+        val spark = session()
+        val report = IncrementalDedup.run(spark, spark.read.parquet(newPages), cfg, storeDir)
+        println(s"[graft] increment committed at ${report.incDir}: " +
+          s"${report.newDocs} new docs, ${report.pairsVerified} pairs verified, " +
+          s"cumulative clusters at ${report.incDir}/clusters")
+      case Seq("decontaminate", storeDir, evalPath, outDir) =>
+        val spark = session()
+        val (flagged, caches) = Decontaminate.pairsFromCheckpoints(
+          spark, storeDir, asEval(spark.read.parquet(evalPath)), cfg)
+        val pairsOut = s"$outDir/contaminated_pairs.parquet"
+        flagged.write.mode("overwrite").parquet(pairsOut)
+        val pairs = spark.read.parquet(pairsOut)
+        // clean list = every corpus doc with no flagged eval near-dup;
+        // written as (id, url) pointers — re-writing the text would double
+        // the corpus footprint for what is a filter
+        val clean = IncrementalDedup.readAll(spark, storeDir, "docs")
+          .join(pairs.select(col("doc_id").as("id")).distinct(), Seq("id"), "left_anti")
+          .select("id", "url")
+        val cleanOut = s"$outDir/clean_doc_ids.parquet"
+        clean.write.mode("overwrite").parquet(cleanOut)
+        caches.foreach(_.unpersist(blocking = false))
+        println(s"[graft] decontaminate done: ${pairs.count()} flagged pairs → $pairsOut, " +
+          s"clean list → $cleanOut")
+      case _ => usage()
+    }
+  }
+}

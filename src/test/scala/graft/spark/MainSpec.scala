@@ -1,0 +1,79 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.testkit.PagesGen
+
+/** The spark-submit CLI surface (graft.Main): flag parsing, and the three
+  * subcommands driven end-to-end over a tmp store — run, resume, increment,
+  * decontaminate — asserting on the on-disk artifacts a production operator
+  * would consume. */
+class MainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("parseConfig maps every documented flag") {
+    val cfg = graft.Main.parseConfig(Seq(
+      "--seed=7", "--shingle-words=2", "--num-hashes=24", "--bands=12",
+      "--threshold=0.4", "--max-bucket=100", "--salt-window=4"))
+    assert(cfg.seed == 7L && cfg.shingleWords == 2 && cfg.numHashes == 24 &&
+      cfg.bands == 12 && cfg.threshold == 0.4 && cfg.maxBucket == 100 &&
+      cfg.saltWindow == 4)
+    assert(graft.Main.parseConfig(Seq("--char-shingles=5")).charShingles == 5)
+  }
+
+  test("dedup → resume → increment → decontaminate end-to-end over one store") {
+    val root = java.nio.file.Files.createTempDirectory("graft-main-spec").toString
+    val pagesPath = s"$root/pages.parquet"
+    val incPath = s"$root/pages2.parquet"
+    val evalPath = s"$root/eval.parquet"
+    val outDir = s"$root/decon-out"
+    val store = s"$root/store"
+
+    PagesGen.pages(spark, 200, seed = 0L, partitions = 4).drop("id")
+      .write.parquet(pagesPath)
+    // increment: a fresh id range whose cluster blocks continue the corpus
+    PagesGen.pages(spark, 240, seed = 0L, partitions = 4)
+      .where(col("id") >= 200).drop("id")
+      .write.parquet(incPath)
+    // eval set = copies of every 10th base page under FRESH urls (distinct
+    // ids), so contamination is planted and self-pairing is not a factor
+    PagesGen.pages(spark, 200, seed = 0L, partitions = 4)
+      .where(col("id") % 10 === 0)
+      .select(concat(lit("eval-"), col("url")).as("url"), col("text"))
+      .write.parquet(evalPath)
+
+    graft.Main.main(Array("dedup", pagesPath, store))
+    // stage tables use the manifest layout (<stage>/data/*.parquet +
+    // _manifest.json) — the production reader is TableIO.read
+    val clusters = graft.sources.TableIO.read(spark, s"$store/clusters")
+    assert(clusters.count() == 200)
+    // resume: second run must leave every DATA stage untouched (the
+    // `metrics` table is per-run telemetry and is rewritten by design)
+    val mtimes = java.nio.file.Files.list(java.nio.file.Paths.get(store)).toArray.map(_.toString)
+      .filterNot(_.endsWith("/metrics"))
+      .map(d => d -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(d)).toMillis).toMap
+    graft.Main.main(Array("dedup", pagesPath, store))
+    mtimes.foreach { case (d, t) =>
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(d)).toMillis == t, s"stage $d was rewritten on resume")
+    }
+
+    graft.Main.main(Array("increment", store, incPath))
+    assert(graft.sources.TableIO.read(spark, s"$store/inc-1/clusters").count() == 240)
+
+    graft.Main.main(Array("decontaminate", store, evalPath, outDir))
+    val pairs = spark.read.parquet(s"$outDir/contaminated_pairs.parquet")
+    val clean = spark.read.parquet(s"$outDir/clean_doc_ids.parquet")
+    val nPairs = pairs.count()
+    assert(nPairs > 0, "planted eval copies must be flagged")
+    // exact copies (J=1) flag at least the 20 planted source docs
+    val flaggedDocs = pairs.select("doc_id").distinct().count()
+    assert(flaggedDocs >= 20)
+    // clean list covers the BASE docs store minus flagged ids exactly
+    val allDocs = graft.pipeline.IncrementalDedup.readAll(spark, store, "docs")
+    assert(clean.count() == allDocs.count() - flaggedDocs)
+    assert(clean.join(pairs.select(col("doc_id").as("id")), Seq("id")).count() == 0)
+    spark.catalog.clearCache()
+  }
+}
