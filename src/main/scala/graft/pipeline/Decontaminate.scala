@@ -40,8 +40,21 @@ import org.apache.spark.sql.functions._
   * Output: (doc_id, eval_id, jaccard) — one row per (corpus doc, eval doc)
   * pair with exact word/char-shingle Jaccard ≥ cfg.threshold. Deterministic
   * under any partitioning (stateless seeded hashing + exact verification).
-  * A doc id present in BOTH inputs is the same document, not contamination,
-  * and is excluded.
+  * A doc id present in BOTH inputs IS flagged (as the self-pair
+  * (id, id, 1.0)): for the scrub semantics the benchmark page itself
+  * sitting in the training corpus is the worst leak, not a non-pair —
+  * with url-derived ids (Main.asEval / DocIds) a corpus crawl of the
+  * benchmark's own page lands on exactly this case, and the round-5 review
+  * showed the previous same-id exclusion shipped it into clean().
+  *
+  * Documents with EMPTY shingle sets (null text, or shorter than one
+  * shingle) are dropped from both sides before banding: an empty-set MinHash
+  * signature is the constant all-lanes −1, so every empty doc lands in the
+  * SAME band bucket per band — one short eval item would candidate-pair
+  * with every near-empty corpus page (millions at web scale, and this
+  * asymmetric operator deliberately has no census gate to absorb it) only
+  * for every such pair to verify to J(∅,∅) = 0. The filter is exact:
+  * J ≥ threshold > 0 is unreachable for an empty set.
   */
 object Decontaminate {
 
@@ -84,6 +97,7 @@ object Decontaminate {
   private def flagAgainstEval(
       evalSigs: DataFrame,
       nEval: Long,
+      evalShingleBytes: Long,
       corpusBands: DataFrame,
       prunedShingles: DataFrame => DataFrame,
       denseShingles: () => DataFrame,
@@ -96,7 +110,6 @@ object Decontaminate {
       else evalBands.hint("shuffle_hash")
     val cand = corpusBands
       .join(evalSide, "band_hash")
-      .where(col("id") =!= col("eval_id"))
       .select(col("id").as("doc_id"), col("eval_id"))
     // Partitioned by doc_id ONLY (dedupPairs rationale): the verify join on
     // doc_id reuses this exchange instead of re-shuffling the pair relation.
@@ -117,11 +130,6 @@ object Decontaminate {
         prunedShingles(pairs.select(col("doc_id").as("id")).distinct())
       else denseShingles()
     val evalSh = evalSigs.select(col("id").as("eval_id"), col("shingles").as("sh_b"))
-    // measured, not doc-count-estimated: the agg runs over the cached tiny
-    // side (one cheap job) — an eval set of long documents can be GBs of
-    // shingles at a doc count whose BAND table still broadcasts fine
-    val evalShingleBytes = 8L * evalSigs
-      .agg(sum(size(col("shingles"))).cast("long")).first().getLong(0)
     val evalShSide =
       if (evalShingleBytes <= broadcastShingleBytes) broadcast(evalSh)
       else evalSh.hint("shuffle_hash")
@@ -134,16 +142,25 @@ object Decontaminate {
     (out, Seq(evalSigs, pairs))
   }
 
-  /** Eval signatures cached + counted (the count materializes the cache,
-    * drives every broadcast decision, and gates the empty short-circuit —
-    * building the candidate plan for an empty eval set would explicitly
-    * broadcast an EMPTY long-keyed relation, the phantom-broadcast shape
-    * this runtime accounts ~513 MiB for; BENCH/BASELINE.md). */
-  private def evalSide(evalSet: DataFrame, cfg: DedupConfig): (DataFrame, Long) = {
-    val evalSigs = Dedup.signatures(evalSet, cfg).cache()
-    val nEval = evalSigs.count()
+  /** Eval signatures (empty-shingle docs dropped — see class doc), cached,
+    * with doc count AND total shingle count from ONE agg pass (the action
+    * materializes the cache, drives every broadcast decision, and gates the
+    * empty short-circuit — building the candidate plan for an empty eval
+    * set would explicitly broadcast an EMPTY long-keyed relation, the
+    * phantom-broadcast shape this runtime accounts ~513 MiB for;
+    * BENCH/BASELINE.md. The shingle total is MEASURED, not doc-count-
+    * estimated: an eval set of long documents can be GBs of shingles at a
+    * doc count whose 16 B/row band table still broadcasts fine). */
+  private def evalSide(evalSet: DataFrame, cfg: DedupConfig): (DataFrame, Long, Long) = {
+    val evalSigs = Dedup.signatures(evalSet, cfg)
+      .where(size(col("shingles")) > 0).cache()
+    val stats = evalSigs
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(size(col("shingles"))).cast("long"), lit(0L)).as("sh"))
+      .first()
+    val nEval = stats.getLong(0)
     if (nEval == 0L) evalSigs.unpersist(blocking = false)
-    (evalSigs, nEval)
+    (evalSigs, nEval, 8L * stats.getLong(1))
   }
 
   /** Contaminated pairs plus every DataFrame the plan pinned (caller
@@ -156,14 +173,16 @@ object Decontaminate {
       cfg: DedupConfig): (DataFrame, Seq[DataFrame]) = {
     val spark = corpus.sparkSession
     graft.functions.GraftExpressions.register(spark)
-    val (evalSigs, nEval) = evalSide(evalSet, cfg)
+    val (evalSigs, nEval, evalShBytes) = evalSide(evalSet, cfg)
     if (nEval == 0L) return emptyResult(spark)
     flagAgainstEval(
-      evalSigs, nEval,
-      // one narrow text→sig→band pass over the corpus; with the broadcast
-      // engaged the only corpus-wide exchange in the WHOLE operator is the
-      // O(candidates) pair-dedup repartition
-      corpusBands = Dedup.bands(Dedup.signatures(corpus, cfg), cfg),
+      evalSigs, nEval, evalShBytes,
+      // one narrow text→sig→band pass over the corpus (empty-shingle docs
+      // dropped — the constant-signature bucket, see class doc); with the
+      // broadcast engaged the only corpus-wide exchange in the WHOLE
+      // operator is the O(candidates) pair-dedup repartition
+      corpusBands = Dedup.bands(
+        Dedup.signatures(corpus, cfg).where(size(col("shingles")) > 0), cfg),
       // shingles RE-DERIVED from the pruned docs' text (O(pairs) hashing —
       // shingling is a pure function of text) behind a broadcast id probe
       prunedShingles = ids => corpus.join(broadcast(ids), "id")
@@ -189,10 +208,14 @@ object Decontaminate {
       cfg: DedupConfig): (DataFrame, Seq[DataFrame]) = {
     graft.functions.GraftExpressions.register(spark)
     IncrementalDedup.validateStore(baseDir, cfg)
-    val (evalSigs, nEval) = evalSide(evalSet, cfg)
+    val (evalSigs, nEval, evalShBytes) = evalSide(evalSet, cfg)
     if (nEval == 0L) return emptyResult(spark)
     flagAgainstEval(
-      evalSigs, nEval,
+      evalSigs, nEval, evalShBytes,
+      // checkpointed band rows of empty-shingle docs cannot be filtered
+      // away here, but they are inert: with the EVAL side's empty docs
+      // dropped, the constant empty-signature band hash matches nothing
+      // (up to a 64-bit collision, which exact verify then rejects)
       corpusBands = IncrementalDedup.readAll(spark, baseDir, "bands"),
       prunedShingles = ids => IncrementalDedup.readAll(spark, baseDir, "docs")
         .join(broadcast(ids), "id")
@@ -212,13 +235,26 @@ object Decontaminate {
 
   /** The scrub itself: corpus docs with NO near-duplicate in the eval set —
     * what a pipeline actually writes out as the decontaminated training
-    * corpus. Left-anti by doc_id against the flagged pairs; the flagged
-    * relation is O(contamination), so the anti-join broadcasts in the
-    * common case and never reshuffles the corpus payload. */
-  def clean(corpus: DataFrame, evalSet: DataFrame, cfg: DedupConfig): DataFrame =
-    corpus.join(
-      // pinned relations are O(eval)+O(pairs); released at the caller's
-      // next clearCache like the other convenience entries
-      pairs(corpus, evalSet, cfg).select(col("doc_id").as("id")).distinct(),
-      Seq("id"), "left_anti")
+    * corpus. The flagged-id relation is materialized (it is
+    * O(contamination)) and the anti-join side chosen EXPLICITLY: broadcast
+    * when sparse — a static Catalyst size estimate of the candidate+verify
+    * subtree routinely exceeds the auto-broadcast threshold, and the
+    * resulting sort-merge anti-join would shuffle-WRITE the whole corpus
+    * text payload even when AQE later localizes the read — merge-hinted
+    * (AQE skew-splittable, never a corpus broadcast) in the dense case.
+    * Zero flags short-circuit to the corpus unchanged (broadcasting an
+    * EMPTY long-keyed relation is the phantom-broadcast trap). Pinned
+    * relations are O(eval)+O(pairs); released at the caller's next
+    * clearCache like the other convenience entries. */
+  def clean(corpus: DataFrame, evalSet: DataFrame, cfg: DedupConfig): DataFrame = {
+    val ids = pairs(corpus, evalSet, cfg)
+      .select(col("doc_id").as("id")).distinct().cache()
+    val nFlagged = ids.count()
+    if (nFlagged == 0L) {
+      ids.unpersist(blocking = false)
+      return corpus
+    }
+    val side = if (nFlagged <= pruneIdLimit) broadcast(ids) else ids.hint("merge")
+    corpus.join(side, Seq("id"), "left_anti")
+  }
 }

@@ -53,18 +53,26 @@ object DeconProbe {
       val spark = graft.GraftSession.get(cores, s"decon-probe-$cores")
       try {
         def run(n: Long, mod: Long): Double = {
-          val corpus = PagesGen.corpus(spark, n, seed = 0L, partitions = cores * 4)
+          import spark.implicits._
           val t0 = System.nanoTime()
           val (flagged, caches) =
             if (ckptMode)
+              // ONLY the eval slice is generated (spark.range with step =
+              // mod): generating the full n-doc corpus to filter out n/mod
+              // docs put ~n page renders inside the timed region, so the
+              // "checkpointed scrub" efficiency mostly measured
+              // embarrassingly-parallel text generation (round-5 review)
               Decontaminate.pairsFromCheckpoints(spark, storeDir,
-                corpus.where(col("id") % mod === 0)
-                  .select((col("id") + lit(1000000007L)).as("id"), col("text")),
+                spark.range(0L, n, mod, cores * 4)
+                  .mapPartitions(_.map(id => (id + 1000000007L, PagesGen.textFor(0L, id))))
+                  .toDF("id", "text"),
                 cfg)
-            else
+            else {
+              val corpus = PagesGen.corpus(spark, n, seed = 0L, partitions = cores * 4)
               Decontaminate.pairsWithHandle(
                 corpus.where(col("id") % mod =!= 0),
                 corpus.where(col("id") % mod === 0), cfg)
+            }
           val pairs = flagged.count()
           val w = (System.nanoTime() - t0) / 1e9
           caches.foreach(_.unpersist(blocking = false))

@@ -84,16 +84,40 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(caches.isEmpty)
   }
 
-  test("a doc id present in both inputs is the same doc, never a pair") {
-    // eval slice ⊂ corpus: every candidate with itself is excluded, and the
-    // remaining flags equal the cross-split truth exactly
-    val both = Decontaminate.pairs(corpusDf, evalPart, cfg)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(!both.exists { case (a, b) => a == b })
-    // corpus here INCLUDES the eval docs, so eval-eval dup pairs also
-    // surface (doc_id side is an eval doc ≠ the probe doc) — the
-    // cross-split truth must still be exactly the non-eval-doc_id subset
-    assert(both.filterNot { case (a, _) => a % m == 0 } == truth.keySet)
+  test("an eval doc sitting in the corpus under its own id IS flagged and scrubbed") {
+    // eval slice ⊂ corpus: the benchmark page itself inside the training
+    // corpus is the WORST leak — it must flag as the self-pair (id, id, 1.0)
+    // and clean() must drop it. (The round-5 review found the previous
+    // same-id exclusion shipped exactly these docs into the clean corpus.)
+    val flagged = Decontaminate.pairs(corpusDf, evalPart, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val evalIds = (0L until nDocs).filter(_ % m == 0)
+    evalIds.foreach(id => assert(flagged.get((id, id)).contains(1.0), s"eval doc $id not self-flagged"))
+    // the cross-split flags are still exactly the disjoint-split truth
+    assert(flagged.keySet.filterNot { case (a, _) => a % m == 0 } == truth.keySet)
+    val cleaned = Decontaminate.clean(corpusDf, evalPart, cfg)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(evalIds.forall(!cleaned.contains(_)), "an eval doc survived the scrub")
+    spark.catalog.clearCache()
+  }
+
+  test("empty-shingle docs (null/short text) never candidate-pair") {
+    // empty shingle sets hash to the constant all-lanes −1 signature —
+    // without the pre-band filter ONE short eval item would bucket with
+    // every near-empty corpus doc (no census gate in this operator); all
+    // such pairs verify to J(∅,∅)=0, so dropping them is exact
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), (2L, null.asInstanceOf[String]),
+      (3L, "xy"), (4L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val eval = Seq((100L, null.asInstanceOf[String]), (101L, "zz"),
+      (102L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val (flagged, caches) = Decontaminate.pairsWithHandle(corpus, eval, cfg)
+    val got = flagged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    caches.foreach(_.unpersist(blocking = false))
+    // only the genuine near-dups of eval 102 flag; the null/short docs on
+    // either side produce nothing (and no empty×empty candidate blow-up)
+    assert(got == Set((1L, 102L), (4L, 102L)))
   }
 
   test("clean() = corpus minus flagged docs") {
