@@ -75,6 +75,10 @@ object SparkEntry {
     val de = Seq("der", "die", "das", "und", "ist", "von", "zu", "den", "nicht", "mit")
     val fr = Seq("le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour")
     val es = Seq("el", "los", "las", "y", "es", "una", "por", "con", "para", "como")
+    /** q_quality's stop-word list — ONE definition interpolated into both
+      * the Spark query and the oracle SQL (an edit to a hand-duplicated
+      * copy would silently fork the two engines; round-5 review). */
+    val stop = Seq("the", "a", "an", "of", "to", "and", "in", "on", "is", "it")
   }
 
   /** BPE-ish pre-tokenizer pattern — portable between Java regex and RE2.
@@ -117,22 +121,29 @@ object SparkEntry {
     * self-join is sort-merge (df-skewed key; AQE can skew-split it, a
     * broadcast of it is unbounded), and per-doc sizes re-join by
     * shuffle_hash (one row per CORPUS doc — unbounded at 10^12 docs).
-    * Returns (pair counts c per (doc_a, doc_b), per-doc sizes n). */
-  private def pairCounts(items: DataFrame, dfCap: Option[Long]): (DataFrame, DataFrame) = {
+    * The item projection (per-row hashing CPU) feeds up to 4 plan branches
+    * (df census + both self-join sides + the size aggregate), so it is
+    * CACHED here once — the SimHash chunk-relation lesson (r3) — and
+    * returned as the pinned handle so `*WithHandle` production entries can
+    * release it (the query-map forms rely on Bench/Verify's clearCache
+    * between queries).
+    * Returns (pair counts c per (doc_a, doc_b), per-doc sizes n, pinned). */
+  private def pairCounts(items: DataFrame, dfCap: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
+    val cached = items.cache()
     val sh = dfCap match {
       case Some(cap) =>
-        items.join(
-          items.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
+        cached.join(
+          cached.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
             .hint("shuffle_hash"),
           "s")
-      case None => items
+      case None => cached
     }
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("merge"), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    (inter, sz)
+    (inter, sz, cached)
   }
 
   private def joinSizes(inter: DataFrame, sz: DataFrame): DataFrame =
@@ -142,16 +153,17 @@ object SparkEntry {
 
   private def jaccardPairsBy(
       d: DataFrame, threshold: Double, shingles: Column => Column,
-      dfCap: Option[Long] = None): DataFrame = {
+      dfCap: Option[Long] = None): (DataFrame, DataFrame) = {
     graft.functions.GraftExpressions.register(d.sparkSession)
-    val (inter, sz) = pairCounts(
+    val (inter, sz, pinned) = pairCounts(
       d.select(col("doc_id"), explode(shingles(col("text"))).as("s")), dfCap)
-    joinSizes(inter, sz)
+    val out = joinSizes(inter, sz)
       .select(
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+    (out, pinned)
   }
 
   /** Production word-n-gram Jaccard pairs: the scale-safe default carries the
@@ -161,9 +173,20 @@ object SparkEntry {
     * 1.5 s capped at sf0.1). The UNCAPPED form stays available as the exact
     * oracle query (q_ngram_jaccard_pairs). */
   def ngramJaccardPairs(d: DataFrame, threshold: Double, dfCap: Long = 10000L): DataFrame =
-    jaccardPairsBy(d, threshold,
+    ngramJaccardPairsWithHandle(d, threshold, dfCap)._1
+
+  /** [[ngramJaccardPairs]] plus the pinned shingle relation (the
+    * [[graft.pipeline.Dedup.nearDupPairsWithHandle]] contract): callers
+    * that fully materialize the result in a long-lived session unpersist
+    * the handle; the convenience form relies on the session's next
+    * clearCache (what Bench/Verify do between queries). */
+  def ngramJaccardPairsWithHandle(
+      d: DataFrame, threshold: Double, dfCap: Long = 10000L): (DataFrame, Seq[DataFrame]) = {
+    val (out, pinned) = jaccardPairsBy(d, threshold,
       call_function("graft_shingle_hashes", _, lit(3), lit(lshConfig.seed)),
       dfCap = Some(dfCap))
+    (out, Seq(pinned))
+  }
 
   /** Shared-winnowing-fingerprint near-dup pairs over a pluggable
     * fingerprint column — the same [[pairCounts]] topology as the shingle
@@ -172,15 +195,12 @@ object SparkEntry {
     * O(d²) join bucket; the cap is part of the semantics, replicated in the
     * oracle). All-integer counts + one final division → bitwise-oracleable. */
   private def winnowPairsBy(
-      d: DataFrame, fpCol: Column, dfCap: Long = 50L, minOverlap: Double = 0.2): DataFrame = {
+      d: DataFrame, fpCol: Column, dfCap: Long = 50L,
+      minOverlap: Double = 0.2): (DataFrame, DataFrame) = {
     graft.functions.GraftExpressions.register(d.sparkSession)
-    // cached: the per-position winnow projection is the dominant CPU and
-    // appears on 4 plan branches (df census + both self-join sides + the
-    // size aggregate) — the SimHash chunk-relation lesson (r3).
-    // Bench/Verify clearCache() between queries releases it.
-    val fpAll = d.select(col("doc_id"), explode(fpCol).as("s")).cache()
-    val (inter, sz) = pairCounts(fpAll, Some(dfCap))
-    joinSizes(
+    val (inter, sz, pinned) = pairCounts(
+      d.select(col("doc_id"), explode(fpCol).as("s")), Some(dfCap))
+    val out = joinSizes(
       inter.where(col("c") >= 2), // integer pre-filter before the size joins
       sz)
       .select(col("doc_a"), col("doc_b"), col("c").as("n_shared"),
@@ -190,18 +210,30 @@ object SparkEntry {
       // 8-gram collisions at < 0.2 — exact-int division, bitwise-safe gate
       .where(col("overlap") >= minOverlap)
       .orderBy("doc_a", "doc_b")
+    (out, pinned)
   }
 
   /** Production winnowing near-dup pairs: seeded Rabin–Karp ROLLING gram
     * hashes (O(1) per position — md5 digests the whole k-gram at every
     * position) with the same selection, df cap and overlap gate as the
-    * oracle-gated q_winnow_pairs. */
+    * oracle-gated q_winnow_pairs. Pins the fingerprint relation until the
+    * session's next clearCache — long-lived sessions use
+    * [[winnowPairsWithHandle]] and unpersist the handle. */
   def winnowPairs(
       d: DataFrame, k: Int = 8, w: Int = 16, seed: Long = 42L,
       dfCap: Long = 50L, minOverlap: Double = 0.2): DataFrame =
-    winnowPairsBy(d,
+    winnowPairsWithHandle(d, k, w, seed, dfCap, minOverlap)._1
+
+  /** [[winnowPairs]] plus the pinned fingerprint relation (the
+    * [[graft.pipeline.Dedup.nearDupPairsWithHandle]] contract). */
+  def winnowPairsWithHandle(
+      d: DataFrame, k: Int = 8, w: Int = 16, seed: Long = 42L,
+      dfCap: Long = 50L, minOverlap: Double = 0.2): (DataFrame, Seq[DataFrame]) = {
+    val (out, pinned) = winnowPairsBy(d,
       call_function("graft_winnow", col("text"), lit(k), lit(w), lit(seed)),
       dfCap, minOverlap)
+    (out, Seq(pinned))
+  }
 
   /** Flagship: LSH near-duplicate pairs on the smoke corpus; driver checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -229,8 +261,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_fingerprint" -> ((s, dir) =>
+      // whitespace as an EXPLICIT class, not \s: Java's \s includes \x0B
+      // (vertical tab) while RE2's does not — the same engine fork the
+      // BpePattern comment documents; \s+ here would silently diverge the
+      // two engines' fingerprints on a \x0B-bearing page
       docs(s, dir)
-        .select(col("doc_id"), md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " "))).as("fp"))
         .orderBy("doc_id")),
     "q_winnow_fingerprints" -> ((s, dir) => {
       // Winnowing (MOSS) local fingerprints: char-8-gram hashes, window-16
@@ -252,7 +289,7 @@ object SparkEntry {
       // production entry [[winnowPairs]] runs the same plan over the seeded
       // Rabin–Karp rolling kernel.
       winnowPairsBy(docs(s, dir),
-        call_function("graft_winnow_md5", col("text"), lit(8), lit(16)))),
+        call_function("graft_winnow_md5", col("text"), lit(8), lit(16)))._1),
     "q_token_stats" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -268,9 +305,8 @@ object SparkEntry {
       // a 100 TB corpus); oracle unchanged
       graft.functions.GraftExpressions.register(s)
       val ws = split(col("text"), " ", -1)
-      val stopLex = Seq("the", "a", "an", "of", "to", "and", "in", "on", "is", "it")
       val nWords = size(ws).cast("long")
-      val stopCnt = call_function("graft_lex_count", col("text"), array(stopLex.map(lit): _*))
+      val stopCnt = call_function("graft_lex_count", col("text"), array(LangLex.stop.map(lit): _*))
       val sumLen = call_function("graft_len_sum", ws)
       docs(s, dir)
         .select(
@@ -296,7 +332,11 @@ object SparkEntry {
       docs(s, dir)
         .select(
           col("doc_id"),
-          when(m === 0, "unknown")
+          // null text → every score NULL → m NULL: without the isNull arm
+          // all equality branches are NULL (false) and the otherwise fired,
+          // labeling null-text docs "es" (round-5 review); they are
+          // "unknown" (score stays NULL, mirrored in the oracle)
+          when(m.isNull || m === 0, "unknown")
             .when(sEn === m, "en")
             .when(sDe === m, "de")
             .when(sFr === m, "fr")
@@ -323,7 +363,7 @@ object SparkEntry {
     }),
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       jaccardPairsBy(docs(s, dir), 0.05,
-        call_function("graft_shingle_hashes", _, lit(3), lit(lshConfig.seed)))),
+        call_function("graft_shingle_hashes", _, lit(3), lit(lshConfig.seed)))._1),
     "q_chargram_jaccard_pairs" -> ((s, dir) =>
       // char-5-gram shingles (the reference's MinHash input is ANY symbol
       // set, minhash.jl:146-170; north star: "character/word shingles").
@@ -332,7 +372,7 @@ object SparkEntry {
       // would need at real scale — VERDICT r1 What's wrong #6.
       jaccardPairsBy(docs(s, dir), 0.5,
         call_function("graft_char_shingle_hashes", _, lit(5), lit(lshConfig.seed)),
-        dfCap = Some(50L))),
+        dfCap = Some(50L))._1),
     // ------------------------------------------------------------ LSH dedup
     "q_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(docsAsCorpus(s, dir), lshConfig)
@@ -533,7 +573,12 @@ object SparkEntry {
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // customer is sf-SCALED (1.5e9 rows at TPC-H sf1000), not a fixed
+        // dim — an explicit broadcast is the unbounded-side flip the rest
+        // of the file hint-proofs against; the narrow 2-column projection
+        // shuffle-hash-joins scale-safely
+        .join(c.select("c_custkey", "c_mktsegment").hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
           countDistinct(col("o_orderkey")).as("n_orders"),
@@ -615,6 +660,8 @@ object SparkEntry {
     // ±1 Rademacher plane entry for tag:p:i (CrossEngine.rademacher)
     def rad(tag: String, p: String, i: String): String =
       s"CASE WHEN substring(md5('$tag:'||$p||':'||$i),1,1) BETWEEN '0' AND '7' THEN 1 ELSE -1 END"
+    // SQL IN-list from the SHARED Scala lexicon constants — never re-typed
+    def inList(lex: Seq[String]): String = lex.map(w => s"'$w'").mkString(", ")
     // 1e3-quantized int64 embedding (GraftFunctions.quantize)
     val qVec =
       "q AS (SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings)"
@@ -625,7 +672,7 @@ object SparkEntry {
           |SELECT doc_id, keep_id FROM h JOIN m ON h.h IS NOT DISTINCT FROM m.h
           |ORDER BY doc_id""".stripMargin,
       "q_fingerprint" ->
-        raw"SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
+        raw"SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
       // winnowing: gram hash = md5long15 of the char-8-gram, fingerprints =
       // distinct minima over every window of 16 consecutive gram hashes
       // (docs with <16 grams get the single min over all grams — the
@@ -667,14 +714,13 @@ object SparkEntry {
           |  CAST(length(text) AS BIGINT) AS n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_quality" ->
-        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-          |SELECT doc_id,
-          |  CAST(len(ws) AS BIGINT) AS n_words,
-          |  CAST(len(list_filter(ws, x -> x IN ('the','a','an','of','to','and','in','on','is','it'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
-          |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_wlen
-          |FROM w ORDER BY doc_id""".stripMargin,
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(len(list_filter(ws, x -> x IN (${inList(LangLex.stop)}))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+           |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_wlen
+           |FROM w ORDER BY doc_id""".stripMargin,
       "q_lang_id" -> {
-        def inList(lex: Seq[String]): String = lex.map(w => s"'$w'").mkString(", ")
         s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |sc AS (SELECT doc_id,
            |  CAST(len(list_filter(ws, x -> x IN (${inList(LangLex.en)}))) AS BIGINT) AS s_en,
@@ -683,7 +729,8 @@ object SparkEntry {
            |  CAST(len(list_filter(ws, x -> x IN (${inList(LangLex.es)}))) AS BIGINT) AS s_es
            |  FROM w)
            |SELECT doc_id,
-           |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+           |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) IS NULL
+           |         OR greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
            |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
            |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
            |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
@@ -697,7 +744,7 @@ object SparkEntry {
         // an unconditional coalesce would turn DuckDB's NULL into 0 and fork
         // the gate); an EMPTY token list is 0 on both (Spark aggregate init
         // vs coalesced list_sum)
-        raw"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]') AS toks FROM documents)
+        raw"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$BpePattern') AS toks FROM documents)
            |SELECT doc_id,
            |  CAST(len(toks) AS BIGINT) AS n_subtokens,
            |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_subtokens,
