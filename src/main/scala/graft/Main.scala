@@ -102,8 +102,8 @@ object Main {
         val spark = session()
         val report = IncrementalDedup.run(spark, spark.read.parquet(newPages), cfg, storeDir)
         println(s"[graft] increment committed at ${report.incDir}: " +
-          s"${report.newDocs} new docs, ${report.pairsVerified} pairs verified, " +
-          s"cumulative clusters at ${report.incDir}/clusters")
+          s"${report.newDocs} new docs, ${report.pairsVerified} pairs adjudicated " +
+          s"this increment, cumulative clusters at ${report.incDir}/clusters")
       case Seq("decontaminate", storeDir, evalPath, outDir) =>
         val spark = session()
         val (flagged, caches) = Decontaminate.pairsFromCheckpoints(

@@ -61,6 +61,11 @@ import graft.sources.TableIO
   */
 object IncrementalDedup {
 
+  /** @param pairsVerified pairs ADJUDICATED BY THIS INCREMENT (the
+    *        unadjudicated candidate pairs exact-verified this run) — NOT
+    *        the store's cumulative verified-pair count, which lives in the
+    *        increment's verified_pairs manifest (review r5: the cumulative
+    *        number was reported here and read as per-increment work). */
   final case class IncReport(
       clusters: DataFrame,
       verifiedPairs: DataFrame,
@@ -207,9 +212,43 @@ object IncrementalDedup {
     // rename race now fails loudly instead of corrupting.
     val dir = s"$finalDir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
 
-    val oldDocs = readAll(spark, baseDir, "docs") // (id, url, text)
-    val oldCand = latest(spark, baseDir, "candidates")
-    val oldVerified = latest(spark, baseDir, "verified_pairs")
+    // abandoned staging dirs from crashed runs (each retry gets a fresh
+    // nonce, so they accumulate — the documented disk-exhaustion mode).
+    // WARN rather than delete: a *.tmp-* dir may belong to a LIVE
+    // concurrent writer, and deleting it would corrupt that run.
+    locally {
+      val it = Files.list(Paths.get(baseDir))
+      val stale =
+        try it.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("inc-\\d+\\.tmp-.*")).toSeq
+        finally it.close()
+      if (stale.nonEmpty)
+        System.err.println(s"[inc] WARNING: ${stale.size} staging dir(s) under " +
+          s"$baseDir (${stale.mkString(", ")}) — leftovers of crashed increment " +
+          s"runs unless a concurrent increment is running RIGHT NOW; delete " +
+          s"them to reclaim space (they are invisible to readers)")
+    }
+
+    // the store was fully validated above (validateStore walked every
+    // increment's manifests); these pre-validated readers skip the
+    // per-call re-listing + re-validation that the PUBLIC readAll/latest
+    // perform for external callers (review r5: run() triggered the full
+    // O(increments × stages) manifest walk at ~8 separate call sites)
+    def readAllPre(stage: String): DataFrame =
+      priorInc.foldLeft(TableIO.read(spark, s"$baseDir/$stage"))(
+        (df, inc) => df.unionByName(TableIO.read(spark, s"$inc/$stage")))
+    def latestPre(stage: String): DataFrame =
+      TableIO.read(spark,
+        if (priorInc.isEmpty) s"$baseDir/$stage" else s"${priorInc.last}/$stage")
+    // explicit probe-shape cutover shared by every small-keyed join below:
+    // a provably small key set broadcasts, anything else shuffle-probes
+    // (NEVER an implicit broadcast of an unbounded side)
+    def probeSide(df: DataFrame, provablySmall: Boolean): DataFrame =
+      if (provablySmall) broadcast(df) else df.hint("shuffle_hash")
+
+    val oldDocs = readAllPre("docs") // (id, url, text)
+    val oldCand = latestPre("candidates")
+    val oldVerified = latestPre("verified_pairs")
 
     // -Dgraft.inc.verbose=true → per-stage wall on stdout. The manifest's
     // wallMillis is the same full wall: TableIO.write's by-name wallMillis
@@ -293,17 +332,15 @@ object IncrementalDedup {
     // and touches nothing — guarding here also keeps the explicit key
     // broadcast below provably non-empty (the phantom-broadcast trap)
     var touchedCaches: Seq[DataFrame] = Seq.empty
-    val (touchedCensus, cappedCum, maxBucketCum) =
-      if (nNewDocs == 0) (null: DataFrame, prevCapped, prevMaxBucket)
+    val (touchedCensus, cappedCum, maxBucketCum, touchedHot) =
+      if (nNewDocs == 0) (null: DataFrame, prevCapped, prevMaxBucket, 0L)
       else {
-        val keys0 = deltaCensusDf.select("band_hash")
         // nNewDocs·bands bounds the touched-key count exactly, with no
         // extra count() action; a daily increment broadcasts, a
         // backfill-sized one falls back to a shuffle probe
-        val keys =
-          if (nNewDocs * cfg.bands <= bcKeyLimit) broadcast(keys0)
-          else keys0.hint("shuffle_hash")
-        val prevTouched = readAll(spark, baseDir, "census").join(keys, "band_hash")
+        val keys = probeSide(deltaCensusDf.select("band_hash"),
+          nNewDocs * cfg.bands <= bcKeyLimit)
+        val prevTouched = readAllPre("census").join(keys, "band_hash")
           .groupBy("band_hash").agg(sum("bucket_size").as("bucket_size"))
           .cache()
         val touched = prevTouched.unionByName(deltaCensusDf)
@@ -318,7 +355,8 @@ object IncrementalDedup {
         // + touched buckets that crossed the cap THIS increment
         (touched,
           prevCapped + (nowStats.getLong(0) - prevHot),
-          math.max(prevMaxBucket, nowStats.getLong(1)))
+          math.max(prevMaxBucket, nowStats.getLong(1)),
+          nowStats.getLong(0))
       }
     val deltaCensusOut = stage("census", salt, Map(
       "cappedBuckets" -> cappedCum.toString,
@@ -326,25 +364,29 @@ object IncrementalDedup {
       "saltWindow" -> cfg.saltWindow.toString))(deltaCensusDf)
 
     val unionCand = {
-      val withNew =
-        if (nNewDocs == 0) oldCand
+      // raw (undeduped) pair additions from this increment; ONE dedupPairs
+      // over oldCand ∪ additions at the end (the r4-#1 exchange-cut
+      // reasoning: the previous shape deduped the in-cap pairs and then
+      // re-exchanged + re-aggregated the whole relation again after the
+      // salted union)
+      val inCapNew: Option[DataFrame] =
+        if (nNewDocs == 0) None
         else {
           val gateCount =
             touchedCensus.where(col("bucket_size").between(2, cfg.maxBucket)).count()
           if (verbose)
             println(s"[inc] touched buckets in-cap (pair-eligible): $gateCount")
-          if (gateCount == 0) oldCand
+          if (gateCount == 0) None
           else {
-            val gate0 = touchedCensus
-              .where(col("bucket_size").between(2, cfg.maxBucket)).select("band_hash")
-            val gate =
-              if (nNewDocs * cfg.bands <= bcKeyLimit) broadcast(gate0)
-              else gate0.hint("shuffle_hash")
+            val gate = probeSide(
+              touchedCensus
+                .where(col("bucket_size").between(2, cfg.maxBucket)).select("band_hash"),
+              nNewDocs * cfg.bands <= bcKeyLimit)
             // old band rows are consulted ONLY for gated touched buckets —
             // a broadcast probe applied at the columnar checkpoint scan,
             // never a shuffle of the untouched corpus
-            val unionBands = readAll(spark, baseDir, "bands").unionByName(newBands)
-            val newInvolving = unionBands.join(gate, "band_hash")
+            val unionBands = readAllPre("bands").unionByName(newBands)
+            Some(unionBands.join(gate, "band_hash")
               .select(col("band_hash"), col("id").as("id_o"))
               .join(
                 newBands.join(gate, "band_hash")
@@ -354,22 +396,32 @@ object IncrementalDedup {
               .where(col("id_o") =!= col("id_n"))
               .select(
                 least(col("id_o"), col("id_n")).as("id_a"),
-                greatest(col("id_o"), col("id_n")).as("id_b"))
-            Dedup.dedupPairs(oldCand.unionByName(newInvolving))
+                greatest(col("id_o"), col("id_n")).as("id_b")))
           }
         }
-      if (cfg.saltWindow > 0 && cappedCum > 0) {
-        // hot buckets are rare and gated: the salted path still runs over
-        // the union (its window pairing is not decomposable per increment),
-        // but the union bands/census/signatures come from the narrow
-        // checkpoints — old TEXT is still never re-hashed
-        val censusFull = readAll(spark, baseDir, "census").unionByName(deltaCensusOut)
-          .groupBy("band_hash").agg(sum("bucket_size").as("bucket_size"))
-        val bandsFull = readAll(spark, baseDir, "bands").unionByName(newBands)
-        val sigsFull = readAll(spark, baseDir, "signatures").unionByName(newSigs)
-        Dedup.dedupPairs(
-          withNew.union(Dedup.saltedHotPairs(bandsFull, censusFull, sigsFull, cfg)))
-      } else withNew
+      // salted recompute ONLY when the delta touched a hot bucket: an
+      // untouched hot bucket's membership is unchanged, so its
+      // (deterministic) salted window pairs are already in the previous
+      // candidates checkpoint — the old cappedCum>0 gate re-ran the whole
+      // salted sub-plan over the union on EVERY increment over a hot store,
+      // including zero-new-docs re-crawls (review r5). The window pairing
+      // is still not decomposable per increment, so the touched hot
+      // buckets' FULL union membership is consulted — but only theirs:
+      // touchedCensus (cumulative counts for touched keys only) is the
+      // census the salted sub-plan sees, so untouched buckets are never hot
+      // keys in it. Bands/signatures come from the narrow checkpoints —
+      // old TEXT is still never re-hashed.
+      val saltedNew: Option[DataFrame] =
+        if (cfg.saltWindow > 0 && touchedHot > 0) {
+          val bandsFull = readAllPre("bands").unionByName(newBands)
+          val sigsFull = readAllPre("signatures").unionByName(newSigs)
+          Some(Dedup.saltedHotPairs(bandsFull, touchedCensus, sigsFull, cfg)
+            .select("id_a", "id_b"))
+        } else None
+      (inCapNew ++ saltedNew).reduceOption(_ unionByName _) match {
+        case None => oldCand
+        case Some(add) => Dedup.dedupPairs(oldCand.unionByName(add))
+      }
     }
     val candOut = stage("candidates", salt)(unionCand)
     touchedCaches.foreach(_.unpersist(blocking = false))
@@ -445,8 +497,7 @@ object IncrementalDedup {
         unionDocsAll.select("id"), verifiedOut.select("id_a", "id_b"))
     }
 
-    val nNew = TableIO.readManifest(s"$dir/docs").map(_.rows).getOrElse(0L)
-    val nVerified = TableIO.readManifest(s"$dir/verified_pairs").map(_.rows).getOrElse(0L)
+    val nVerifiedTotal = TableIO.readManifest(s"$dir/verified_pairs").map(_.rows).getOrElse(0L)
 
     // COMMIT: every stage is now materialized under the private tmp dir —
     // one directory rename publishes the whole increment. Readers either
@@ -455,27 +506,39 @@ object IncrementalDedup {
     // the rename). A rename target that already exists means another
     // writer committed inc-<k> first — a LOST RACE, reported as such (the
     // increment must be re-run so it deduplicates against the winner's
-    // docs; blindly retrying with k+1 would re-add them).
-    if (Files.exists(Paths.get(finalDir))) {
-      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.delete(p))
-      throw new IllegalStateException(
+    // docs; blindly retrying with k+1 would re-add them). The move itself
+    // can ALSO lose the race (the winner publishes between the exists()
+    // check and the rename) — both orderings route through the same
+    // cleanup-and-explain path, and a cleanup failure is attached as
+    // suppressed rather than masking the race diagnosis (review r5).
+    def lostRace(): Nothing = {
+      val err = new IllegalStateException(
         s"lost increment commit race: $finalDir was published by a concurrent " +
           s"run while this one was computing; re-run this increment (it must " +
           s"be recomputed against the newly committed state, not renamed to " +
           s"inc-${k + 1})")
+      try {
+        val walk = Files.walk(Paths.get(dir))
+        try walk.iterator().asScala.toSeq.reverse.foreach(p => Files.delete(p))
+        finally walk.close()
+      } catch { case cleanup: Exception => err.addSuppressed(cleanup) }
+      throw err
     }
-    Files.move(Paths.get(dir), Paths.get(finalDir))
+    if (Files.exists(Paths.get(finalDir))) lostRace()
+    try Files.move(Paths.get(dir), Paths.get(finalDir))
+    catch { case _: java.nio.file.FileAlreadyExistsException => lostRace() }
 
-    // metrics row appended to the run history (same table the base run uses)
+    // per-increment telemetry row (the BASE run's history is the separate
+    // $baseDir/metrics table): both the pairs adjudicated THIS increment
+    // and the store's cumulative verified-pair count, named apart
     import spark.implicits._
-    Seq((s"inc-$k", nNew, nVerified, salt))
-      .toDF("stage", "new_docs", "verified_pairs", "salt")
+    Seq((s"inc-$k", nNewDocs, nToVerify, nVerifiedTotal, salt))
+      .toDF("stage", "new_docs", "pairs_adjudicated", "verified_pairs_total", "salt")
       .withColumn("recomputed", lit(true))
       .write.mode("append").parquet(s"$baseDir/metrics_inc")
     IncReport(
       TableIO.read(spark, s"$finalDir/clusters"),
       TableIO.read(spark, s"$finalDir/verified_pairs"),
-      finalDir, nNew, nVerified)
+      finalDir, nNewDocs, nToVerify)
   }
 }

@@ -171,6 +171,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(rep.clusters.count() == 12)
   }
 
+  test("hot store: increments that do not touch a hot bucket skip the salted recompute, pairs preserved") {
+    import spark.implicits._
+    // base: 8 identical docs → every band bucket hot (8 > 3), salted pairs
+    // in the base candidates checkpoint. The increment adds 2 identical
+    // docs of DISJOINT vocabulary — it touches no hot bucket, so the
+    // salted sub-plan must not re-run (review r5: the old cappedCum>0 gate
+    // re-ran it over the union on every increment over a hot store) while
+    // the hot group's pairs carry over from the checkpoint unchanged.
+    val hotCfg = DedupConfig(seed = 42L, maxBucket = 3, saltWindow = 4)
+    val hotText = (1 to 40).map(i => s"hotw$i").mkString(" ")
+    val coldText = (1 to 40).map(i => s"coldw$i").mkString(" ")
+    val dir = tmp("graft-inc-hot-untouched")
+    val baseRep = CheckpointedDedup.run(spark,
+      (0 until 8).map(i => (s"https://u.example/h$i", hotText)).toDF("url", "text"),
+      hotCfg, dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val basePairs = pairSet(baseRep.verifiedPairs)
+    assert(basePairs.nonEmpty)
+
+    val rep1 = IncrementalDedup.run(spark,
+      (0 until 2).map(i => (s"https://u.example/c$i", coldText)).toDF("url", "text"),
+      hotCfg, dir)
+    val incPairs = pairSet(rep1.verifiedPairs)
+    assert(basePairs.subsetOf(incPairs), "untouched hot-bucket pairs must carry over")
+    assert(incPairs.size == basePairs.size + 1, "the cold in-cap pair must be found")
+    assert(rep1.pairsVerified == 1L, "only the new cold pair needed adjudication")
+
+    // zero-new-docs re-crawl over the SAME hot store: everything —
+    // including the salted branch — short-circuits; clusters unchanged
+    val rep2 = IncrementalDedup.run(spark,
+      (0 until 8).map(i => (s"https://u.example/h$i", hotText)).toDF("url", "text"),
+      hotCfg, dir)
+    assert(rep2.newDocs == 0L && rep2.pairsVerified == 0L)
+    val c1 = rep1.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val c2 = rep2.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c1 == c2)
+  }
+
   test("an all-recrawl increment (zero new docs) commits cleanly and changes nothing") {
     val n = 80L
     val all = PagesGen.pages(spark, n, seed = 37L, partitions = 4)
