@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.util.control.NonFatal
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -30,12 +30,20 @@ object TableIO {
 
   private def manifestPath(dir: String) = Paths.get(dir, "_manifest.json")
 
+  /** None = the manifest file is ABSENT or its content unparseable (both
+    * legitimately mean "stage not complete"). An I/O failure reading a file
+    * that EXISTS propagates instead: mapping a transient read error (EMFILE,
+    * permission blip) to None would make the stage() resume check read a
+    * valid completed checkpoint as incomplete and delete-first OVERWRITE it
+    * (review r5; the old form caught Throwable, which also swallowed OOM). */
   def readManifest(dir: String): Option[Manifest] = {
     val p = manifestPath(dir)
     if (!Files.exists(p)) None
-    else
-      try Some(JsonMethods.parse(Files.readString(p)).extract[Manifest])
-      catch { case _: Throwable => None }
+    else {
+      val text = Files.readString(p) // I/O failure propagates
+      try Some(JsonMethods.parse(text).extract[Manifest])
+      catch { case NonFatal(_) => None } // corrupt content = not complete
+    }
   }
 
   /** Complete = manifest present and written for exactly this config. */
@@ -45,28 +53,52 @@ object TableIO {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data")
 
+  /** Per-file row counts from the parquet FOOTERS under `dir` (driver-side
+    * metadata reads, zero Spark jobs). Shared by [[rowCount]] and [[write]]'s
+    * lineage so the listing/filter/footer logic cannot drift apart. */
+  private def footerCounts(
+      spark: SparkSession, path: String): Seq[FileLineage] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(f =>
+          f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+      else Array(fs.getFileStatus(p))
+    files.toSeq.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try FileLineage(st.getPath.getName, r.getRecordCount) finally r.close()
+    }
+  }
+
   /** Row count of a parquet file or directory WITHOUT a Spark job: the
     * manifest when the path is a manifest-tracked stage, else the parquet
     * footers (metadata-only driver reads). This is the stats input for
     * count-derived planning — e.g. the ANN/MIPS bucket-width rule — which
     * previously burned a full (columnar, but real) scan per query on a
-    * df.count() (VERDICT r4 What's wrong #3). */
+    * df.count() (VERDICT r4 What's wrong #3).
+    *
+    * A directory with NO top-level parquet files falls through to its
+    * `data/` subdirectory (a manifest-less stage dir — e.g. the documented
+    * crash window between manifest delete and re-write); still finding
+    * nothing is an ERROR, not 0 — a silent 0 would feed n=0 into
+    * count-derived planning with no visible failure (review r5). */
   def rowCount(spark: SparkSession, path: String): Long =
     readManifest(path).map(_.rows).getOrElse {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(f =>
-            f.isFile && !f.getPath.getName.startsWith("_") &&
-              !f.getPath.getName.startsWith("."))
-        else Array(fs.getFileStatus(p))
-      files.map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+      val top = footerCounts(spark, path)
+      val counts =
+        if (top.nonEmpty) top
+        else if (Files.isDirectory(Paths.get(path, "data")))
+          footerCounts(spark, s"$path/data")
+        else Seq.empty
+      require(counts.nonEmpty,
+        s"rowCount($path): no manifest and no parquet files at the path or " +
+          s"its data/ subdirectory — wrong path, or a stage left partial by " +
+          s"a crash; refusing to report 0 rows for it")
+      counts.map(_.rows).sum
     }
 
   /** Write df as a new snapshot with per-file lineage. The manifest is
@@ -97,30 +129,27 @@ object TableIO {
     // per-stage constant that the 8-stage checkpointed pipeline paid 8×
     // per run and that sat on the serialized job path at every cluster
     // size. Same names, same counts, zero jobs.
-    val lineage = {
-      val conf = spark.sessionState.newHadoopConf()
-      val dp = new org.apache.hadoop.fs.Path(dataDir)
-      val fs = dp.getFileSystem(conf)
-      fs.listStatus(dp)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-        .map { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try FileLineage(st.getPath.getName, r.getRecordCount) finally r.close()
-        }
-        .sortBy(_.file)
-        .toList
-    }
+    val lineage = footerCounts(spark, dataDir).sortBy(_.file).toList
     val m = Manifest(
       stage = stage,
       configHash = configHash,
-      snapshotId = System.currentTimeMillis(),
+      // nanoTime, not currentTimeMillis: snapshot identity must change on
+      // EVERY rewrite — a same-millisecond recompute previously produced an
+      // identical snapshotId, which would falsely pass the spec's
+      // "resume did not recompute" snapshotId-equality assertions
+      snapshotId = System.nanoTime(),
       rows = lineage.map(_.rows).sum,
       wallMillis = wallMillis,
       files = lineage,
       extra = extra)
-    val tmp = Paths.get(dir, "_manifest.json.tmp")
+    // unique per-call tmp name: with a FIXED tmp path two concurrent
+    // write() calls to the same stage dir could publish each other's
+    // manifest (describing the other writer's data) or die mid-commit on
+    // the other's move; higher layers serialize writers by design, but
+    // this keeps a violated assumption LOUD (one writer's move fails)
+    // instead of silently corrupting
+    val tmp = Paths.get(dir,
+      s"_manifest.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(tmp, Serialization.writePretty(m))
     Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,

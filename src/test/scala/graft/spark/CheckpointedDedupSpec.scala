@@ -107,6 +107,15 @@ class CheckpointedDedupSpec extends AnyFunSuite {
     assert(TableIO.rowCount(spark, s"$base/t") == 2L)
     // and a bare parquet directory (the stage's data dir) sums per-file footers
     assert(TableIO.rowCount(spark, s"$base/t/data") == 2L)
+    // a MANIFEST-LESS stage dir (the documented crash window between
+    // manifest delete and re-write) falls through to data/ instead of
+    // silently reporting 0 — n=0 would feed count-derived planning
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$base/t/_manifest.json"))
+    assert(TableIO.rowCount(spark, s"$base/t") == 2L)
+    // a dir with neither manifest nor parquet anywhere is an ERROR, not 0
+    val empty = s"$base/nothing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
+    intercept[IllegalArgumentException] { TableIO.rowCount(spark, empty) }
     rmrf(base)
   }
 
