@@ -76,6 +76,19 @@ object MinHashKernel {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** Primary doc-id lane: seeded 64-bit FNV/splitmix hash of the url
+    * (DocIds.primaryHash — identical values to the ScalaUDF it replaces, so
+    * existing docs checkpoints stay valid). Exact arity — a default arg
+    * would leave Janino no matching method (the graft_lcs_len lesson). */
+  def urlId(url: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    Rng.hashString(seed, url.toString)
+
+  /** Collision-rehash lane: mixes the colliding id with an independent url
+    * hash (DocIds rehash contract — assign and assignDisjoint must share it
+    * or cross-increment ids diverge). */
+  def rehashId(id: Long, url: org.apache.spark.unsafe.types.UTF8String): Long =
+    Rng.hash2(id, Rng.hashString(0x5345434FL, url.toString))
+
   /** LSH band hashes from a k-lane signature (k = b·r). */
   def bands(sig: ArrayData, b: Int, r: Int, seed: Long): ArrayData = {
     val out = new Array[Long](b)
@@ -164,6 +177,47 @@ case class ShingleHashesExpr(child: Expression, n: Int, seed: Long, charMode: Bo
     copy(child = newChild)
   override def prettyName: String =
     if (charMode) "graft_char_shingle_hashes" else "graft_shingle_hashes"
+}
+
+/** graft_url_id(url, seed): the doc-id url hash as a codegen expression —
+  * the docs-ingest stage runs it once per corpus row (the last per-row
+  * ScalaUDF on the 100 TB ingest path after round 5's shingle/signature
+  * conversions). Null-propagating: a null url yields a null id (the UDF it
+  * replaces NPE'd — null urls are invalid input either way; DocIds'
+  * dropDuplicates keeps at most one such row). */
+case class UrlIdExpr(child: Expression, seed: Long) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.urlId(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.urlId($c, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): UrlIdExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_url_id"
+}
+
+/** graft_rehash_id(id, url): the collision-rehash lane (only evaluated for
+  * colliding rows behind a `when` guard, but keeping it native keeps the
+  * whole rehash projection inside one codegen stage). Null-propagating. */
+case class RehashIdExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, org.apache.spark.sql.types.StringType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected (bigint, string), got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(id: Any, url: Any): Any =
+    MinHashKernel.rehashId(id.asInstanceOf[Long],
+      url.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, url) => s"graft.functions.MinHashKernel.rehashId($id, $url)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RehashIdExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_rehash_id"
 }
 
 /** graft_jaccard_sorted(a, b): exact Jaccard of two sorted-distinct hash
@@ -257,6 +311,14 @@ object GraftExpressions {
       "graft_char_shingle_hashes",
       exprs => ShingleHashesExpr(exprs(0), lit2Int(exprs(1)), lit2Long(exprs(2)),
         charMode = true),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_url_id",
+      exprs => UrlIdExpr(exprs(0), lit2Long(exprs(1))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_rehash_id",
+      exprs => RehashIdExpr(exprs(0), exprs(1)),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_jaccard_sorted",

@@ -158,12 +158,15 @@ object CheckpointedDedup {
 
     val h3 = chain("candidates")
     val candidatesStage = stage("candidates", h3, skewStats) {
-      val base = Dedup.candidatesFromCensus(bandsStage.df, censusStage.df, cfg)
+      // hot path unions the RAW in-cap and salted pairs before the single
+      // dedupPairs (the dedup-then-union-then-dedup shape exchanged the
+      // biggest intermediate twice — same restructure as IncrementalDedup r5)
       if (cfg.saltWindow > 0 && capped > 0)
         Dedup.dedupPairs(
-          base.union(
-            Dedup.saltedHotPairs(bandsStage.df, censusStage.df, signaturesStage.df, cfg)))
-      else base
+          Dedup.rawCandidatesFromCensus(bandsStage.df, censusStage.df, cfg)
+            .union(
+              Dedup.rawSaltedHotPairs(bandsStage.df, censusStage.df, signaturesStage.df, cfg)))
+      else Dedup.candidatesFromCensus(bandsStage.df, censusStage.df, cfg)
     }
 
     val h4 = chain("verified_pairs")

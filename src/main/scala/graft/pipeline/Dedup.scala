@@ -132,16 +132,25 @@ object Dedup {
   private[pipeline] def dedupPairs(pairs: DataFrame): DataFrame =
     pairs.repartition(col("id_a")).dropDuplicates("id_a", "id_b")
 
-  def candidatesFromCensus(bands: DataFrame, census: DataFrame, cfg: DedupConfig): DataFrame = {
+  def candidatesFromCensus(bands: DataFrame, census: DataFrame, cfg: DedupConfig): DataFrame =
+    dedupPairs(rawCandidatesFromCensus(bands, census, cfg))
+
+  /** Un-deduped within-bucket pairs — the raw form exists so the salted hot
+    * path can union its additions BEFORE the single pair-relation dedup
+    * (dedup-then-union-then-dedup exchanged the biggest intermediate twice;
+    * the same restructure IncrementalDedup applied in round 5). */
+  private[pipeline] def rawCandidatesFromCensus(
+      bands: DataFrame,
+      census: DataFrame,
+      cfg: DedupConfig): DataFrame = {
     val ok = bands.join(
       census.where(col("bucket_size").between(2, cfg.maxBucket)).select("band_hash")
         .hint("shuffle_hash"),
       "band_hash")
-    dedupPairs(
-      ok.select(col("band_hash"), col("id").as("id_a"))
-        .join(ok.select(col("band_hash"), col("id").as("id_b")), "band_hash")
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b"))
+    ok.select(col("band_hash"), col("id").as("id_a"))
+      .join(ok.select(col("band_hash"), col("id").as("id_b")), "band_hash")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
   }
 
   /** Hot-bucket members split into bounded SALT CELLS (explicit skew
@@ -204,6 +213,16 @@ object Dedup {
       bands: DataFrame,
       census: DataFrame,
       signatures: DataFrame,
+      cfg: DedupConfig): DataFrame =
+    dedupPairs(rawSaltedHotPairs(bands, census, signatures, cfg))
+
+  /** Un-deduped salted pairs (see [[rawCandidatesFromCensus]] for why the
+    * raw form exists; callers that union it with other raw pair sources run
+    * ONE dedupPairs over the union). */
+  private[pipeline] def rawSaltedHotPairs(
+      bands: DataFrame,
+      census: DataFrame,
+      signatures: DataFrame,
       cfg: DedupConfig): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = saltedCells(bands, census, signatures, cfg)
@@ -227,12 +246,11 @@ object Dedup {
         Seq("band_hash", "sort_key", "rn"))
       .select(col("l_id"), col("r_id"))
 
-    dedupPairs(
-      intra.union(stitch)
-        .select(
-          least(col("l_id"), col("r_id")).as("id_a"),
-          greatest(col("l_id"), col("r_id")).as("id_b"))
-        .where(col("id_a") < col("id_b")))
+    intra.union(stitch)
+      .select(
+        least(col("l_id"), col("r_id")).as("id_a"),
+        greatest(col("l_id"), col("r_id")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
   }
 
   /** Stage VERIFY: exact Jaccard (the reference's ground-truth kernel,
@@ -283,10 +301,14 @@ object Dedup {
     val hasHot = cfg.saltWindow > 0 &&
       census.agg(count(when(col("bucket_size") > cfg.maxBucket, 1)).as("c"))
         .first().getLong(0) > 0
-    val base = candidatesFromCensus(bandsDf, census, cfg)
+    // hot path: union the RAW in-cap and salted pairs, then ONE dedupPairs —
+    // the dedup-then-union-then-dedup shape exchanged + re-aggregated the
+    // biggest intermediate (the in-cap pair relation) twice
     val pairs =
-      if (hasHot) dedupPairs(base.union(saltedHotPairs(bandsDf, census, sigs, cfg)))
-      else base
+      if (hasHot)
+        dedupPairs(rawCandidatesFromCensus(bandsDf, census, cfg)
+          .union(rawSaltedHotPairs(bandsDf, census, sigs, cfg)))
+      else candidatesFromCensus(bandsDf, census, cfg)
     (verify(pairs, sigs.select("id", "shingles"), cfg), Seq(sigs, census))
   }
 

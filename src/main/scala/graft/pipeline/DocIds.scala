@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.Rng
 
 /** Deterministic, collision-FREE 64-bit doc ids from urls.
   *
@@ -20,12 +19,16 @@ import graft.core.Rng
   */
 object DocIds {
 
-  /** Default primary lane: seeded 64-bit hash of the url. */
+  /** Default primary lane: seeded 64-bit hash of the url, as the codegen
+    * graft_url_id expression (identical values to the round-1..4 ScalaUDF
+    * form — ids and docs checkpoints stay valid; this was the last per-row
+    * UDF on the corpus-wide ingest path). Callers must have registered
+    * GraftExpressions — [[assign]]/[[assignDisjoint]] do. */
   def primaryHash(url: Column): Column =
-    udf((u: String) => Rng.hashString(0x55524C49L, u)).apply(url)
+    call_function("graft_url_id", url, lit(0x55524C49L))
 
-  private val rehash =
-    udf((id: Long, url: String) => Rng.hash2(id, Rng.hashString(0x5345434FL, url)))
+  private def rehash(id: Column, url: Column): Column =
+    call_function("graft_rehash_id", id, url)
 
   /** Assign a unique `id` to every distinct url.
     *
@@ -42,6 +45,7 @@ object DocIds {
       pages: DataFrame,
       primary: Column,
       maxRounds: Int = 5): DataFrame = {
+    graft.functions.GraftExpressions.register(pages.sparkSession)
     val sc = pages.sparkSession.sparkContext
     var df = pages.dropDuplicates("url").withColumn("id", primary)
     // each round's localCheckpoint pins blocks that supersede the previous
@@ -90,6 +94,7 @@ object DocIds {
       pages: DataFrame,
       existingIds: DataFrame,
       maxRounds: Int = 5): DataFrame = {
+    graft.functions.GraftExpressions.register(pages.sparkSession)
     val sc = pages.sparkSession.sparkContext
     val ex = existingIds.select(col("id"))
     var df = pages.dropDuplicates("url").withColumn("id", primaryHash(col("url")))

@@ -415,7 +415,10 @@ object IncrementalDedup {
         if (cfg.saltWindow > 0 && touchedHot > 0) {
           val bandsFull = readAllPre("bands").unionByName(newBands)
           val sigsFull = readAllPre("signatures").unionByName(newSigs)
-          Some(Dedup.saltedHotPairs(bandsFull, touchedCensus, sigsFull, cfg)
+          // raw form: the final dedupPairs over oldCand ∪ additions below
+          // already dedups, so the salted sub-plan's own pair exchange is
+          // pure waste here
+          Some(Dedup.rawSaltedHotPairs(bandsFull, touchedCensus, sigsFull, cfg)
             .select("id_a", "id_b"))
         } else None
       (inCapNew ++ saltedNew).reduceOption(_ unionByName _) match {

@@ -79,10 +79,12 @@ object SignAlshRetrieval {
     val m2 = e.agg(max(call_function("graft_dot", col("v"), col("v"))).as("m2"))
     val base0 = e.crossJoin(broadcast(m2))
       .withColumn("nv", call_function("graft_dot", col("v"), col("v")))
-    // all of table t's raw plane dots in one fused codegen pass
-    val base = (0 until plan.tables).foldLeft(base0)((df, t) =>
-      df.withColumn(s"pd$t",
-        call_function("graft_plane_dots", col("v"), lit("mips"), lit(t * P), lit(P))))
+    // all of table t's raw plane dots in one fused codegen pass; ONE select
+    // for all tables — a per-table withColumn fold re-analyzes the growing
+    // plan each call, O(T²) driver work at planFor(10⁹)'s T=143
+    val base = base0.select(col("*") +: (0 until plan.tables).map(t =>
+      call_function("graft_plane_dots", col("v"), lit("mips"), lit(t * P), lit(P))
+        .as(s"pd$t")): _*)
     val m2d = col("m2").cast("double")
     val n2 = col("nv").cast("double") / m2d
     val n2sq = n2 * n2

@@ -337,6 +337,37 @@ class CodegenStrictSpec extends AnyFunSuite {
       r.getInt(0) == graft.core.SuffixArray.lcsLength(r.getString(1), r.getString(2))))
   }
 
+  test("graft_url_id / graft_rehash_id compile strictly and match the UDF contract") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val urls = Seq("https://a.example/x?p=1", "", "ünïcode/ürl", "https://b.example/y")
+    val rows = strictCodegen {
+      urls.map(u => (u, 7L)).toDF("url", "id")
+        .select(
+          call_function("graft_url_id", col("url"), lit(0x55524C49L)).as("p"),
+          call_function("graft_rehash_id", col("id"), col("url")).as("r"),
+          col("url"), col("id"))
+        .collect()
+    }
+    rows.foreach { r =>
+      // pinned against Rng directly — the ScalaUDF form these expressions
+      // replaced computed exactly these values, so ids (and docs
+      // checkpoints) are stable across the conversion
+      assert(r.getLong(0) == graft.core.Rng.hashString(0x55524C49L, r.getString(2)))
+      assert(r.getLong(1) ==
+        graft.core.Rng.hash2(r.getLong(3), graft.core.Rng.hashString(0x5345434FL, r.getString(2))))
+    }
+    // null url propagates (the UDF NPE'd; null → null is the documented form)
+    val nullRow = strictCodegen {
+      Seq((Option.empty[String], 7L)).toDF("url", "id")
+        .select(
+          call_function("graft_url_id", col("url"), lit(0x55524C49L)),
+          call_function("graft_rehash_id", col("id"), col("url")))
+        .collect().head
+    }
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
+
   test("graft_winnow_md5 / graft_winnow compile strictly and match the kernels") {
     import spark.implicits._
     graft.functions.GraftExpressions.register(spark)
