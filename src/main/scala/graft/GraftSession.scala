@@ -31,6 +31,12 @@ object GraftSession {
   def get(cores: Int, appName: String = "graft"): SparkSession = {
     val s = builder(cores).appName(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // graft_* functions are session-scoped temp functions: register them at
+    // the factory so every Column built via call_function (DocIds.primaryHash,
+    // the pipeline kernels) resolves without each call site having to know
+    // the registration precondition (call sites that build their own session
+    // still register lazily — this is belt-and-braces, idempotent)
+    graft.functions.GraftExpressions.register(s)
     s
   }
 }

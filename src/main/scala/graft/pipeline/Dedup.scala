@@ -113,16 +113,6 @@ object Dedup {
   def candidates(bands: DataFrame, cfg: DedupConfig): DataFrame =
     candidatesFromCensus(bands, bucketCensus(bands), cfg)
 
-  /** Pair generation with a (possibly cached) census supplied by the caller.
-    *
-    * The census gate is forced to a SHUFFLE join: its key set is unbounded
-    * (one row per non-singleton bucket — at 200k docs already ~2M keys, at
-    * 10^12 docs billions), but after the band_hash column narrowed to one
-    * bigint AQE's runtime size estimate started flipping this join to
-    * broadcast, building a multi-hundred-MB HashedRelation on every thread
-    * (measured: OOM at 200k docs × 32 threads × 8g). The hot-key side of
-    * the salted path stays an explicit broadcast — THAT key set (over-cap
-    * buckets) is genuinely tiny. */
   /** Pair dedup partitioned by id_a ONLY: hashpartitioning(id_a) clusters
     * every (id_a, *) group, so the dropDuplicates aggregate is legal on it —
     * and the verify stage's first join (on id_a) then REUSES the exchange
@@ -132,13 +122,23 @@ object Dedup {
   private[pipeline] def dedupPairs(pairs: DataFrame): DataFrame =
     pairs.repartition(col("id_a")).dropDuplicates("id_a", "id_b")
 
+  /** Pair generation with a (possibly cached) census supplied by the caller. */
   def candidatesFromCensus(bands: DataFrame, census: DataFrame, cfg: DedupConfig): DataFrame =
     dedupPairs(rawCandidatesFromCensus(bands, census, cfg))
 
   /** Un-deduped within-bucket pairs — the raw form exists so the salted hot
     * path can union its additions BEFORE the single pair-relation dedup
     * (dedup-then-union-then-dedup exchanged the biggest intermediate twice;
-    * the same restructure IncrementalDedup applied in round 5). */
+    * the same restructure IncrementalDedup applied in round 5).
+    *
+    * The census gate is forced to a SHUFFLE join: its key set is unbounded
+    * (one row per non-singleton bucket — at 200k docs already ~2M keys, at
+    * 10^12 docs billions), but after the band_hash column narrowed to one
+    * bigint AQE's runtime size estimate started flipping this join to
+    * broadcast, building a multi-hundred-MB HashedRelation on every thread
+    * (measured: OOM at 200k docs × 32 threads × 8g). The hot-key side of
+    * the salted path stays an explicit broadcast — THAT key set (over-cap
+    * buckets) is genuinely tiny. */
   private[pipeline] def rawCandidatesFromCensus(
       bands: DataFrame,
       census: DataFrame,

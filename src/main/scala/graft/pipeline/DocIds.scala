@@ -22,13 +22,30 @@ object DocIds {
   /** Default primary lane: seeded 64-bit hash of the url, as the codegen
     * graft_url_id expression (identical values to the round-1..4 ScalaUDF
     * form — ids and docs checkpoints stay valid; this was the last per-row
-    * UDF on the corpus-wide ingest path). Callers must have registered
-    * GraftExpressions — [[assign]]/[[assignDisjoint]] do. */
+    * UDF on the corpus-wide ingest path). Null url → null id (expression
+    * contract); [[assign]]/[[assignDisjoint]] reject null urls LOUDLY before
+    * it matters — see [[guardedId]]. Callers must have registered
+    * GraftExpressions — [[assign]]/[[assignDisjoint]] and GraftSession.get
+    * do. */
   def primaryHash(url: Column): Column =
     call_function("graft_url_id", url, lit(0x55524C49L))
 
   private def rehash(id: Column, url: Column): Column =
     call_function("graft_rehash_id", id, url)
+
+  /** Null urls fail the run loudly. The ScalaUDF this lane replaced NPE'd on
+    * a null url; the codegen expression null-propagates, and a NULL id is a
+    * silent contract breach — equi-joins never match NULL, so a null-url doc
+    * would bypass pair generation, verification, AND decontamination's
+    * anti-join scrub (the empty-shingle leak class, via ids instead of
+    * signatures). assignDisjoint's freshness/collision joins also treat NULL
+    * as no-match, so every increment would add ANOTHER id=NULL row the
+    * collision census can't see. A raise_error branch keeps the rejection
+    * per-row inside codegen (no extra validation job). */
+  private def guardedId(primary: Column): Column =
+    when(col("url").isNull, raise_error(lit(
+      "DocIds: null url in input pages — url is the document identity key " +
+        "and must be non-null"))).otherwise(primary)
 
   /** Assign a unique `id` to every distinct url.
     *
@@ -47,7 +64,7 @@ object DocIds {
       maxRounds: Int = 5): DataFrame = {
     graft.functions.GraftExpressions.register(pages.sparkSession)
     val sc = pages.sparkSession.sparkContext
-    var df = pages.dropDuplicates("url").withColumn("id", primary)
+    var df = pages.dropDuplicates("url").withColumn("id", guardedId(primary))
     // each round's localCheckpoint pins blocks that supersede the previous
     // round's; release the stale ones once the new checkpoint materializes
     // (same discipline as ConnectedComponents.checkpointTracked — pinned-
@@ -97,7 +114,7 @@ object DocIds {
     graft.functions.GraftExpressions.register(pages.sparkSession)
     val sc = pages.sparkSession.sparkContext
     val ex = existingIds.select(col("id"))
-    var df = pages.dropDuplicates("url").withColumn("id", primaryHash(col("url")))
+    var df = pages.dropDuplicates("url").withColumn("id", guardedId(primaryHash(col("url"))))
     // release superseded localCheckpoint blocks per round — same discipline
     // as assign(); pinned-but-dead blocks are an OOM contributor here
     var prevIds: Seq[Int] = Nil

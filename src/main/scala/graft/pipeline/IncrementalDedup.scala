@@ -418,8 +418,7 @@ object IncrementalDedup {
           // raw form: the final dedupPairs over oldCand ∪ additions below
           // already dedups, so the salted sub-plan's own pair exchange is
           // pure waste here
-          Some(Dedup.rawSaltedHotPairs(bandsFull, touchedCensus, sigsFull, cfg)
-            .select("id_a", "id_b"))
+          Some(Dedup.rawSaltedHotPairs(bandsFull, touchedCensus, sigsFull, cfg))
         } else None
       (inCapNew ++ saltedNew).reduceOption(_ unionByName _) match {
         case None => oldCand

@@ -32,6 +32,10 @@ class DocIdsSpec extends AnyFunSuite {
 
   test("non-colliding inputs keep their primary lane untouched") {
     val df = DocIds.assign(pages(50))
+    // primaryHash is a call_function column: registration is a precondition
+    // for direct callers (assign does it internally; don't depend on test
+    // ordering to have registered already)
+    graft.functions.GraftExpressions.register(spark)
     val direct = pages(50).withColumn("id", DocIds.primaryHash(col("url")))
       .select("url", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = df.select("url", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -43,4 +47,27 @@ class DocIdsSpec extends AnyFunSuite {
     assert(df.count() == 20)
     assert(df.select("id").distinct().count() == 20)
   }
+
+  test("null urls fail the run loudly (assign and assignDisjoint)") {
+    // the ScalaUDF lane NPE'd on null urls; the codegen expression
+    // null-propagates, and a NULL id silently bypasses every downstream
+    // equi-join (dedup, verify, decontamination scrub) — so the ingest entry
+    // points must reject nulls with a named error, not ship a null id
+    import spark.implicits._
+    val withNull = pages(10).union(
+      Seq((null: String, "orphan text")).toDF("url", "text"))
+    val eAssign = intercept[Exception] { DocIds.assign(withNull).count() }
+    assert(exceptionChain(eAssign).exists(_.getMessage != null) &&
+      exceptionChain(eAssign).exists(m =>
+        m.getMessage != null && m.getMessage.contains("null url")))
+    val existing = DocIds.assign(pages(10)).select("id")
+    val eDisjoint = intercept[Exception] {
+      DocIds.assignDisjoint(withNull, existing).count()
+    }
+    assert(exceptionChain(eDisjoint).exists(m =>
+      m.getMessage != null && m.getMessage.contains("null url")))
+  }
+
+  private def exceptionChain(t: Throwable): List[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toList
 }
