@@ -1,18 +1,15 @@
 package graft
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the artifact line is machine-parsed JSON: f"" interpolators format via
+    // the default locale, and a comma-decimal locale (de_DE, fr_FR) would
+    // render 1,234 as a bare JSON number and break the driver's json.load
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.shuffle.file.buffer", "1m")
-      .config("spark.shuffle.unsafe.file.output.buffer", "4m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    val spark = GraftSession.plain(cpus, "graft-bench")
     // WARM-UP (disclosed): one pass of every query over the sf0.001 smoke
     // tables before anything is timed. This is JIT/codegen warm-up, not data
     // caching — the warm-up reads DIFFERENT tables than the timed runs and
@@ -56,7 +53,14 @@ object Bench {
         }
         name -> times
       }
-    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    // true median for even rep counts too — the upper-middle element alone
+    // biases high on this ±4× noise host (e.g. reps=4 walls [1.1, 1.2, 9.8,
+    // 10.1] would read 9.8 instead of 5.5)
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
     // -1 = the query failed at least once (its walls are exception paths,
     // not results — surfacing them as timings would hide the crash)
     val medians = results.map { case (k, ts) =>

@@ -39,4 +39,26 @@ object GraftSession {
     graft.functions.GraftExpressions.register(s)
     s
   }
+
+  /** The UN-tuned session the two harness mains (Bench, Verify) share —
+    * partitions=cores and the 1m/4m IO buffers encode the measured
+    * 3.2 ms/write() syscall fact, and the mains must benchmark and verify
+    * the SAME engine: a tuning change applied to one but not the other
+    * would silently bench a different configuration than the one whose
+    * results the oracle checked. Kept separate from [[builder]]: the bench
+    * protocol deliberately excludes the AQE floor knobs (measured A/B via
+    * QueryProfile's "plain" mode). */
+  def plain(cores: Int, appName: String = "graft-plain"): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 }

@@ -51,23 +51,34 @@ object Main {
     * a copy-per-flag fold would trip DedupConfig's numHashes-divisible-by-
     * bands invariant on valid flag sets whose intermediate states are
     * invalid (e.g. --num-hashes=24 --bands=12 against the 42-band default). */
+  /** Throws IllegalArgumentException on unknown flags AND malformed values
+    * (`--threshold=0,5`, `--seed=abc`) — [[main]] turns both into the usage
+    * message + exit 2; a raw NumberFormatException stack trace is not an
+    * operator-facing error. */
   private[graft] def parseConfig(flags: Seq[String]): DedupConfig = {
     val kv = flags.map { f =>
       f.split("=", 2) match {
         case Array(k, v) if KnownFlags.contains(k) => k -> v
-        case _ => System.err.println(s"unknown flag: $f"); usage()
+        case _ => throw new IllegalArgumentException(s"unknown flag: $f")
       }
     }.toMap
+    def num[T](k: String, parse: String => T, default: T): T =
+      kv.get(k).map { v =>
+        try parse(v)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid value for $k: $v")
+        }
+      }.getOrElse(default)
     val d = DedupConfig()
     DedupConfig(
-      shingleWords = kv.get("--shingle-words").map(_.toInt).getOrElse(d.shingleWords),
-      charShingles = kv.get("--char-shingles").map(_.toInt).getOrElse(d.charShingles),
-      numHashes = kv.get("--num-hashes").map(_.toInt).getOrElse(d.numHashes),
-      bands = kv.get("--bands").map(_.toInt).getOrElse(d.bands),
-      threshold = kv.get("--threshold").map(_.toDouble).getOrElse(d.threshold),
-      seed = kv.get("--seed").map(_.toLong).getOrElse(d.seed),
-      maxBucket = kv.get("--max-bucket").map(_.toInt).getOrElse(d.maxBucket),
-      saltWindow = kv.get("--salt-window").map(_.toInt).getOrElse(d.saltWindow))
+      shingleWords = num("--shingle-words", _.toInt, d.shingleWords),
+      charShingles = num("--char-shingles", _.toInt, d.charShingles),
+      numHashes = num("--num-hashes", _.toInt, d.numHashes),
+      bands = num("--bands", _.toInt, d.bands),
+      threshold = num("--threshold", _.toDouble, d.threshold),
+      seed = num("--seed", _.toLong, d.seed),
+      maxBucket = num("--max-bucket", _.toInt, d.maxBucket),
+      saltWindow = num("--salt-window", _.toInt, d.saltWindow))
   }
 
   private def session(): SparkSession =
@@ -82,14 +93,42 @@ object Main {
     else GraftSession.get(Runtime.getRuntime.availableProcessors(), "graft")
 
   /** Eval tables may come keyed by url (benchmark dumps) or already carry
-    * ids; either way the pipeline sees the (id, text) contract. */
+    * ids; either way the pipeline sees the (id, text) contract.
+    *
+    * A pre-existing id column is VALIDATED, not trusted: a null id flows
+    * through Decontaminate's band join but silently vanishes at the verify
+    * equi-join on eval_id, so corpus docs near-dup to that eval item would
+    * never be flagged and ship in the clean list — a decontamination leak;
+    * duplicate ids cross-match shingle sets between distinct eval texts.
+    * The eval table is small by design (the asymmetric-decon contract), so
+    * one validation agg is cheap. The url branch needs neither check —
+    * DocIds.assign is collision-checked and rejects null urls loudly. */
   private[graft] def asEval(df: DataFrame): DataFrame =
-    if (df.columns.contains("id")) df.select(col("id").cast("long").as("id"), col("text"))
-    else DocIds.assign(df).select(col("id"), col("text"))
+    if (df.columns.contains("id")) {
+      val e = df.select(col("id").cast("long").as("id"), col("text"))
+      val r = e.agg(
+        count(when(col("id").isNull, 1)).as("nulls"),
+        count(lit(1)).as("n"),
+        countDistinct(col("id")).as("distinct")).first()
+      if (r.getLong(0) > 0)
+        throw new IllegalArgumentException(
+          s"eval table: ${r.getLong(0)} rows with null id — null ids silently " +
+            "bypass the decontamination joins; fix the table or drop the id " +
+            "column to derive ids from urls")
+      if (r.getLong(1) != r.getLong(2))
+        throw new IllegalArgumentException(
+          s"eval table: duplicate ids (${r.getLong(1)} rows, ${r.getLong(2)} " +
+            "distinct) — ids must uniquely key eval texts")
+      e
+    } else DocIds.assign(df).select(col("id"), col("text"))
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.toSeq.partition(_.startsWith("--"))
-    val cfg = parseConfig(flags)
+    val cfg =
+      try parseConfig(flags)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); usage()
+      }
     pos match {
       case Seq("dedup", pages, storeDir) =>
         val spark = session()

@@ -45,7 +45,16 @@ object NearDupStream {
   final case class DocChunk(chunk_idx: Int, chunk: Long, doc_id: Long, fp: Long)
   final case class DocChunkT(
       chunk_idx: Int, chunk: Long, doc_id: Long, fp: Long, event_time: java.sql.Timestamp)
-  final case class BucketState(ids: List[Long], fps: List[Long], dropped: Long)
+  /** Per-bucket state. `maxTs` = max event time over ALL stored members (0
+    * for paths without event time) — the event-time deadline must be armed
+    * from it, not from one batch's arrivals: a late-but-within-lateness
+    * straggler would otherwise MOVE THE DEADLINE EARLIER and expire fresher
+    * members before their retention window ends (silent recall loss).
+    * Adding the field is a state-schema change: event-time streams resuming
+    * a pre-round-5 checkpoint must restart state (batch mode and the TTL
+    * path are unaffected — both store maxTs = 0). */
+  final case class BucketState(
+      ids: List[Long], fps: List[Long], dropped: Long, maxTs: Long = 0L)
   final case class DupPair(doc_a: Long, doc_b: Long, hamming: Int)
 
   private def chunkColumns(fp: Column): Column =
@@ -77,7 +86,9 @@ object NearDupStream {
     * @param rows     (doc_id, fp, eventTimeMs) arrivals for this bucket
     *                 (eventTimeMs = 0 for paths without event time)
     * @param onUpdate invoked after `state.update` with the MAX event time
-    *                 seen this batch — the timeout-arming hook (sets a
+    *                 over all STORED members (this batch's arrivals and
+    *                 every prior one — so a re-armed deadline can never
+    *                 regress) — the timeout-arming hook (sets a
     *                 processing-time duration, an event-time timestamp
     *                 derived from the arrivals, or nothing)
     */
@@ -92,7 +103,7 @@ object NearDupStream {
       Iterator.empty
     } else {
       var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
-      var maxTs = 0L
+      var maxTs = st.maxTs // deadline can only move LATER across batches
       val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
       rows.foreach { case (docId, fp, ts) =>
         if (ts > maxTs) maxTs = ts
@@ -104,12 +115,19 @@ object NearDupStream {
             out += DupPair(math.min(ids.head, docId), math.max(ids.head, docId), h)
           ids = ids.tail; fps = fps.tail
         }
+        // at-least-once sources redeliver: a doc_id already in the bucket is
+        // NOT appended again (a duplicate member would burn a cap slot per
+        // redelivery — a hot doc could evict every genuine later member —
+        // and double-emit its pairs forever). Its pairs ARE re-evaluated
+        // above: a re-crawl that changed the text carries a new fp, and
+        // OR-amplified duplicate emissions are the documented contract.
         st =
-          if (st.ids.length < maxMembers)
+          if (st.ids.contains(docId)) st
+          else if (st.ids.length < maxMembers)
             BucketState(docId :: st.ids, fp :: st.fps, st.dropped)
           else st.copy(dropped = st.dropped + 1) // capped: disclose, don't grow
       }
-      state.update(st)
+      state.update(st.copy(maxTs = maxTs))
       onUpdate(state, maxTs)
       out.iterator
     }
@@ -146,7 +164,9 @@ object NearDupStream {
 
   /** Event-time retention variant (STREAMING ONLY — it reads the watermark):
     * `docs(doc_id, text, event_time)` → pairs, where a bucket expires once
-    * the watermark passes its last arrival's EVENT TIME + retention.
+    * the watermark passes its NEWEST member's EVENT TIME + retention (the
+    * max over members, not the last arrival — out-of-order stragglers must
+    * not shorten fresher members' remaining retention).
     * Docs arriving after a bucket expired can no longer pair with its
     * pre-expiry members — the disclosed retention/recall tradeoff, now
     * bounded in DATA time: an unbounded stream holds O(docs-per-retention-
@@ -183,13 +203,16 @@ object NearDupStream {
         (_: ChunkKey, rows: Iterator[DocChunkT], state: GroupState[BucketState]) =>
           updateBucket(maxHamming, maxMembers,
             rows.map(r => (r.doc_id, r.fp, r.event_time.getTime)), state,
-            // deadline = last arrival's EVENT time + retention — retention
-            // is measured in DATA time, exactly as documented (arming from
-            // the watermark instead would expire a bucket retention-early
-            // whenever the watermark lags the data, silently missing pairs
-            // within the retention window). setTimeoutTimestamp must exceed
-            // the current watermark, so a straggler whose deadline already
-            // passed is clamped one tick past it (it expires next batch).
+            // deadline = NEWEST stored member's EVENT time + retention —
+            // retention is measured in DATA time, exactly as documented
+            // (arming from the watermark instead would expire a bucket
+            // retention-early whenever the watermark lags the data; arming
+            // from only THIS batch's max would let a late straggler move the
+            // deadline EARLIER — updateBucket carries the lifetime max in
+            // state for exactly that reason). setTimeoutTimestamp must
+            // exceed the current watermark, so a bucket whose deadline
+            // already passed is clamped one tick past it (expires next
+            // batch).
             (st, maxTs) => st.setTimeoutTimestamp(
               math.max(maxTs + retentionMs, st.getCurrentWatermarkMs() + 1)))
       }

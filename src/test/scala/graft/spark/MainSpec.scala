@@ -21,6 +21,42 @@ class MainSpec extends AnyFunSuite {
     assert(graft.Main.parseConfig(Seq("--char-shingles=5")).charShingles == 5)
   }
 
+  test("parseConfig rejects unknown flags and malformed values with named errors") {
+    // main() turns these into the usage message + exit 2 — the parse layer
+    // must throw something catchable, not sys.exit, or a malformed value
+    // would surface as a raw NumberFormatException stack trace
+    val unknown = intercept[IllegalArgumentException] {
+      graft.Main.parseConfig(Seq("--no-such-flag=1"))
+    }
+    assert(unknown.getMessage.contains("--no-such-flag"))
+    val badValue = intercept[IllegalArgumentException] {
+      graft.Main.parseConfig(Seq("--threshold=0,5"))
+    }
+    assert(badValue.getMessage.contains("--threshold") &&
+      badValue.getMessage.contains("0,5"))
+    val badSeed = intercept[IllegalArgumentException] {
+      graft.Main.parseConfig(Seq("--seed=abc"))
+    }
+    assert(badSeed.getMessage.contains("--seed"))
+  }
+
+  test("asEval validates a pre-existing id column: null or duplicate ids fail loudly") {
+    import spark.implicits._
+    // null id: the doc would silently vanish at Decontaminate's verify
+    // equi-join and its corpus near-dups would ship in the clean list
+    val withNull = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("id", "text")
+    val eNull = intercept[IllegalArgumentException] { graft.Main.asEval(withNull) }
+    assert(eNull.getMessage.contains("null id"))
+    val withDup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "text")
+    val eDup = intercept[IllegalArgumentException] { graft.Main.asEval(withDup) }
+    assert(eDup.getMessage.contains("duplicate ids"))
+    // a valid id table passes through unchanged
+    val ok = graft.Main.asEval(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    assert(ok.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("dedup → resume → increment → decontaminate end-to-end over one store") {
     val root = java.nio.file.Files.createTempDirectory("graft-main-spec").toString
     val pagesPath = s"$root/pages.parquet"

@@ -123,6 +123,47 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(late.getTimeoutTimestampMs.get() == 5000001L)
   }
 
+  test("re-delivered doc_ids do not burn cap slots or duplicate members") {
+    // at-least-once sources (replays, re-crawls) redeliver: each redelivery
+    // used to append ANOTHER copy of the doc, so one hot doc could fill the
+    // whole maxMembers cap and evict every genuine later member
+    val state = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L), List(0L), 0L)),
+      GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long],
+      hasTimedOut = false)
+    // doc 1 redelivered twice (cap 2), then a genuinely new doc 2 arrives —
+    // it must still get the second slot
+    val out = NearDupStream.updateBucket(6, 2,
+      Iterator((1L, 0L, 0L), (1L, 0L, 0L), (2L, 3L, 0L)), state, (_, _) => ()).toList
+    assert(state.get.ids.toSet == Set(1L, 2L))
+    assert(state.get.ids.length == 2)
+    assert(state.get.dropped == 0L)
+    // the redeliveries emit no self-pairs; the new doc pairs once per stored
+    // member copy — exactly one, since no duplicate was stored
+    assert(out == List(DupPair(1L, 2L, 2)))
+  }
+
+  test("event-time deadline never regresses when a straggler arrives after fresher members") {
+    // bucket holds a member at T=100s (retention 50s → deadline 150s); a
+    // late-but-within-lateness arrival at T=60s used to re-arm from only the
+    // batch max (60+50=110s), expiring the T=100 member 40s of data-time
+    // early — pairs inside its retention window were silently lost
+    val retentionMs = 50000L
+    val state = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L), List(0L), 0L, maxTs = 100000L)),
+      GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(90000L),
+      hasTimedOut = false)
+    NearDupStream.updateBucket(6, 10, Iterator((2L, 0L, 60000L)), state,
+      (st, maxTs) => st.setTimeoutTimestamp(
+        math.max(maxTs + retentionMs, st.getCurrentWatermarkMs() + 1))).toList
+    assert(state.get.maxTs == 100000L) // lifetime max, not batch max
+    assert(state.getTimeoutTimestampMs.get() == 100000L + retentionMs)
+  }
+
   test("event-time retention: expired buckets stop pairing, fresh ones still do") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
