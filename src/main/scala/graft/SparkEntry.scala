@@ -517,6 +517,77 @@ object SparkEntry {
         .where(col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     }),
+    "q_ivf_ann" -> ((s, dir) => {
+      // IVF (inverted-file) cosine ANN — the coarse-quantizer twin of
+      // q_embedding_lsh_ann (the scale-path pair the brief names: "an IVF
+      // or LSH-bucketed variant"; this engine ships BOTH, they trade recall
+      // shape differently: LSH buckets by random hyperplanes, IVF by
+      // data-dependent regions). Centroids are a deterministic md5-ranked
+      // sample of ceil(√n) corpus vectors (cross-engine: the oracle
+      // recomputes the same rank and the same cell count from count(*)),
+      // every vector is assigned to its max-cosine cell, and a query probes
+      // its nprobe=2 nearest cells with an exact quantized-cosine rerank.
+      //
+      // Scale shape: the centroid sample is a TakeOrdered (per-partition
+      // top-C + merge — no global sort); assignment is ONE broadcast-
+      // centroid pass whose argmax is a partial-aggregating
+      // max(struct(cos, -cid)) groupBy, so the shuffle carries n skinny
+      // (vec_id, cid) rows — NOT the n×C scored cross product a per-vector
+      // window would sort (n·√n rows at C=√n). Probing touches only the
+      // probed cells' members (expected √n per cell).
+      graft.functions.GraftExpressions.register(s)
+      val nRows = graft.sources.TableIO.rowCount(s, s"$dir/embeddings.parquet")
+      val nCells = math.ceil(math.sqrt(nRows.toDouble)).toInt
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
+        .cache() // 3 plan branches: centroid sample, assignment, rerank
+      // the unpartitioned window is over the C already-limited rows only
+      val cent = e
+        .withColumn("hh", CrossEngine.md5longCol(col("vec_id").cast("string")))
+        .orderBy(col("hh"), col("vec_id"))
+        .limit(nCells)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("hh"), col("vec_id"))).cast("long"))
+        .select(col("cid"), col("v").as("cv"))
+      val scored = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          call_function("graft_cosq", col("v"), col("cv")).as("cs"))
+      // argmax by (cos DESC, cid ASC) == max of struct(cos, -cid): struct
+      // ordering is lexicographic and the cosines are the same bitwise
+      // doubles the oracle computes, so the winner matches its row_number
+      val cell = scored.groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+      val probeVecs = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val wProbe = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("cid").asc)
+      val probeCells = probeVecs
+        .crossJoin(broadcast(cent))
+        .select(col("probe_id"),
+          call_function("graft_cosq", col("pv"), col("cv")).as("cs"), col("cid"))
+        .withColumn("prk", row_number().over(wProbe))
+        .where(col("prk") <= 2)
+        .select("probe_id", "cid") // SKINNY: the probe vectors re-join later
+      // probed-cell membership: broadcast the ≤ probes·nprobe cell keys so
+      // the corpus-sized assignment relation is probed in place, never
+      // exchanged; the wide-payload corpus re-join is merge-hinted (the
+      // broadcast-flip policy: at sf-test scale Catalyst would happily
+      // broadcast the whole cached corpus into this join) and the 5 probe
+      // vectors re-join by explicit broadcast AFTER it, so no wide probe
+      // array rides through the big join
+      val cand = cell.join(broadcast(probeCells), "cid")
+        .where(col("vec_id") =!= col("probe_id"))
+        .select("probe_id", "vec_id")
+      val wTop = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+      cand.join(e.hint("merge"), "vec_id")
+        .join(broadcast(probeVecs), "probe_id")
+        .select(col("probe_id"), col("vec_id"),
+          call_function("graft_cosq", col("pv"), col("v")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .where(col("rnk") <= 10)
+        .select("probe_id", "vec_id", "rnk", "cos_sim")
+        .orderBy("probe_id", "rnk")
+    }),
     "q_mips_signalsh" -> ((s, dir) => {
       // SignALSH maximum-inner-product retrieval (SURVEY §2.a ops #10-12)
       // via the generic graft.pipeline.SignAlshRetrieval: P-transform corpus
@@ -840,6 +911,28 @@ object SparkEntry {
            |        (sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)) * sqrt(CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))) AS cos_sim
            |       FROM cand JOIN q a ON a.vec_id = vec_a JOIN q b ON b.vec_id = vec_b)
            |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+      // IVF ANN: same cell count (ceil(sqrt(count(*))) — IEEE sqrt is
+      // exactly rounded, so the double matches the JVM's bitwise), same
+      // md5-ranked centroid sample, argmax assignment via row_number (the
+      // Spark side's max(struct(cos,-cid)) picks the identical winner)
+      "q_ivf_ann" ->
+        s"""WITH $qVec,
+           |cn AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS c FROM embeddings),
+           |h AS (SELECT vec_id, v, CAST('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hh FROM q),
+           |cent AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY hh, vec_id) AS cid, v AS cv FROM h), cn WHERE cid <= cn.c),
+           |sc0 AS (SELECT q.vec_id, cent.cid,
+           |        CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*cent.cv[i])) AS DOUBLE) /
+           |        (sqrt(CAST(list_sum(list_transform(q.v, x -> x*x)) AS DOUBLE)) * sqrt(CAST(list_sum(list_transform(cent.cv, x -> x*x)) AS DOUBLE))) AS cs
+           |        FROM q, cent),
+           |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk FROM sc0) WHERE rk = 1),
+           |pc AS (SELECT probe_id, cid FROM (SELECT vec_id AS probe_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk FROM sc0 WHERE vec_id < 5) WHERE rk <= 2),
+           |cand AS (SELECT pc.probe_id, cell.vec_id FROM pc JOIN cell ON cell.cid = pc.cid WHERE cell.vec_id <> pc.probe_id),
+           |rr AS (SELECT cand.probe_id, cand.vec_id,
+           |        CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) AS DOUBLE) /
+           |        (sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)) * sqrt(CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))) AS cos_sim
+           |       FROM cand JOIN q a ON a.vec_id = cand.probe_id JOIN q b ON b.vec_id = cand.vec_id),
+           |r AS (SELECT probe_id, vec_id, cos_sim, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk FROM rr)
+           |SELECT probe_id, vec_id, CAST(rk AS BIGINT) AS rnk, cos_sim FROM r WHERE rk <= 10 ORDER BY probe_id, rnk""".stripMargin,
       "q_mips_signalsh" ->
         s"""WITH nb AS (SELECT least(12, greatest(4, (SELECT min(CAST(b AS INTEGER)) FROM range(0,40) r(b)
            |             WHERE (CAST(32 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM embeddings)))) AS bits),

@@ -62,4 +62,26 @@ class QueriesSpec extends AnyFunSuite {
       assert(strong(rolling).subsetOf(md5Pairs.keySet))
     } finally spark.catalog.clearCache() // both forms pin their fingerprint relation
   }
+
+  test("q_ivf_ann reranks exactly and recalls a multiple of its scanned fraction") {
+    // The sf0.001 probes have NO planted high-cos neighbors (their exact
+    // top-10 sits at background cos ≈ 0.3 — the worst case for any ANN), so
+    // recall@10 measures pure partition quality: nprobe=2 of ceil(√500)=23
+    // cells scans ~8.7% of the corpus; measured recall is 0.26 (a 3× lift).
+    // Pin a conservative floor plus the exactness of the rerank: every
+    // neighbor IVF returns that the exact query also returns must carry the
+    // IDENTICAL cosine (same kernel, bitwise).
+    try {
+      val ivf = graft.SparkEntry.queries("q_ivf_ann")(spark, dir)
+        .select("probe_id", "vec_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val exact = graft.SparkEntry.queries("q_embedding_topk")(spark, dir)
+        .select("probe_id", "vec_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val overlap = ivf.keySet.intersect(exact.keySet)
+      assert(overlap.size.toDouble / exact.size >= 0.2,
+        s"IVF recall@10 collapsed: ${overlap.size}/${exact.size}")
+      overlap.foreach(k => assert(ivf(k) == exact(k), s"rerank cosine differs at $k"))
+    } finally spark.catalog.clearCache() // q_ivf_ann pins the quantized corpus
+  }
 }
