@@ -235,6 +235,104 @@ object SparkEntry {
     (out, Seq(pinned))
   }
 
+  /** Production IVF cosine-ANN entry (the q_ivf_ann kernel over any
+    * `(vec_id, embedding: Array[Float])` relation) — the coarse-quantizer
+    * twin of the LSH-bucketed ANN path. Centroids are a deterministic
+    * md5-ranked sample of `nCells` corpus vectors; every vector is assigned
+    * to its max-cosine cell; rows matching `probeFilter` probe their
+    * `nprobe` nearest cells with an exact quantized-cosine top-`k` rerank.
+    *
+    * Scale shape (plan-audited in docs/PLANS.md): the centroid sample is a
+    * TakeOrdered (per-partition top-C + merge, no global sort); assignment
+    * argmax is a map-side-partial `max(struct(cos, -cid))` groupBy so the
+    * shuffle carries n skinny (vec_id, cid) rows — never the n×C scored
+    * cross product; candidates probe the assignment relation with a
+    * broadcast of the ≤ probes·nprobe cell keys (the assignment exchange is
+    * reused); the wide corpus re-join is merge-hinted (broadcast-flip
+    * policy) with the probe vectors re-joined by broadcast after it. */
+  def ivfTopK(
+      emb: DataFrame, probeFilter: Column, nCells: Int,
+      nprobe: Int = 2, k: Int = 10): DataFrame =
+    ivfTopKWithHandle(emb, probeFilter, nCells, nprobe, k)._1
+
+  /** [[ivfTopK]] plus the pinned quantized-corpus relation (the
+    * [[graft.pipeline.Dedup.nearDupPairsWithHandle]] contract): callers
+    * unpersist the handle when done; query-gate callers rely on the
+    * harness's clearCache. */
+  def ivfTopKWithHandle(
+      emb: DataFrame, probeFilter: Column, nCells: Int,
+      nprobe: Int = 2, k: Int = 10): (DataFrame, Seq[DataFrame]) = {
+    graft.functions.GraftExpressions.register(emb.sparkSession)
+    val e = emb
+      .select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
+      .cache() // 4 plan branches: centroid sample, assignment, probes, rerank
+    // the unpartitioned window is over the nCells already-limited rows only
+    // each centroid carries its precomputed squared norm: cell RANKING uses
+    // dot/√‖c‖² — for a fixed vector this orders identically to cosine
+    // (cos = (dot/√‖c‖²)·(1/‖v‖), a positive per-vector constant) but skips
+    // recomputing ‖v‖ on every one of the n·C assignment pairs (the
+    // operator's dominant cost); the oracle ranks by the SAME formula so
+    // rounding knife-edges can't diverge, and the OUTPUT cos_sim below is
+    // still the exact cosine
+    val cent = e
+      .withColumn("hh", CrossEngine.md5longCol(col("vec_id").cast("string")))
+      .orderBy(col("hh"), col("vec_id"))
+      .limit(nCells)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("hh"), col("vec_id"))).cast("long"))
+      .select(col("cid"), col("v").as("cv"),
+        sqrt(call_function("graft_dot", col("v"), col("v")).cast("double")).as("cnorm"))
+    def cellScore(vec: Column): Column =
+      call_function("graft_dot", vec, col("cv")).cast("double") / col("cnorm")
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), cellScore(col("v")).as("cs"))
+    // argmax by (score DESC, cid ASC) == max of struct(score, -cid): struct
+    // ordering is lexicographic and the scores are the same bitwise doubles
+    // the oracle computes, so the winner matches its row_number
+    val cell = scored.groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+    val probeVecs = e.where(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wProbe = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("cid").asc)
+    val probeCells = probeVecs
+      .crossJoin(broadcast(cent))
+      .select(col("probe_id"), cellScore(col("pv")).as("cs"), col("cid"))
+      .withColumn("prk", row_number().over(wProbe))
+      .where(col("prk") <= nprobe)
+      .select("probe_id", "cid") // SKINNY: the probe vectors re-join later
+    // probed-cell membership: broadcast the ≤ probes·nprobe cell keys so
+    // the corpus-sized assignment relation is probed in place, never
+    // exchanged. The candidate set is cached (skinny 16 B rows) and COUNTED:
+    // when the count proves it small (≤ graft.ivf.broadcastCandLimit, the
+    // pruned-verify posture — probes·nprobe·E[cell] ≈ 10·√n rows), the
+    // rerank probes the corpus with a broadcast of the candidates at the
+    // scan — NO corpus-wide shuffle of the wide vector payload (measured at
+    // 800k vecs: the merge form shuffle-wrote the whole 400 MB corpus to
+    // look up ~6k candidate vectors). A skewed hot cell above the limit
+    // falls back to the merge join, which AQE can skew-split. The probe
+    // vectors re-join by explicit broadcast AFTER, so no wide probe array
+    // rides through the big join either way.
+    val cand = cell.join(broadcast(probeCells), "cid")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id")
+      .cache()
+    val candLimit = sys.props.getOrElse("graft.ivf.broadcastCandLimit", "4000000").toLong
+    val joined =
+      if (cand.count() <= candLimit) e.join(broadcast(cand), "vec_id")
+      else cand.join(e.hint("merge"), "vec_id")
+    val wTop = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val out = joined
+      .join(broadcast(probeVecs), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        call_function("graft_cosq", col("pv"), col("v")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .where(col("rnk") <= k)
+      .select("probe_id", "vec_id", "rnk", "cos_sim")
+      .orderBy("probe_id", "rnk")
+    (out, Seq(e, cand))
+  }
+
   /** Flagship: LSH near-duplicate pairs on the smoke corpus; driver checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Dedup.nearDupPairs(docsAsCorpus(spark, "/root/testdata/sf0.001"), lshConfig)
@@ -522,71 +620,13 @@ object SparkEntry {
       // q_embedding_lsh_ann (the scale-path pair the brief names: "an IVF
       // or LSH-bucketed variant"; this engine ships BOTH, they trade recall
       // shape differently: LSH buckets by random hyperplanes, IVF by
-      // data-dependent regions). Centroids are a deterministic md5-ranked
-      // sample of ceil(√n) corpus vectors (cross-engine: the oracle
-      // recomputes the same rank and the same cell count from count(*)),
-      // every vector is assigned to its max-cosine cell, and a query probes
-      // its nprobe=2 nearest cells with an exact quantized-cosine rerank.
-      //
-      // Scale shape: the centroid sample is a TakeOrdered (per-partition
-      // top-C + merge — no global sort); assignment is ONE broadcast-
-      // centroid pass whose argmax is a partial-aggregating
-      // max(struct(cos, -cid)) groupBy, so the shuffle carries n skinny
-      // (vec_id, cid) rows — NOT the n×C scored cross product a per-vector
-      // window would sort (n·√n rows at C=√n). Probing touches only the
-      // probed cells' members (expected √n per cell).
-      graft.functions.GraftExpressions.register(s)
+      // data-dependent regions). ceil(√n) cells with n read from parquet
+      // FOOTERS (driver-side metadata, no job; IEEE sqrt is exactly rounded
+      // so the oracle's ceil(sqrt(count(*))) is the same integer); the
+      // kernel and its scale shape live in [[ivfTopKWithHandle]].
       val nRows = graft.sources.TableIO.rowCount(s, s"$dir/embeddings.parquet")
-      val nCells = math.ceil(math.sqrt(nRows.toDouble)).toInt
-      val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
-        .cache() // 3 plan branches: centroid sample, assignment, rerank
-      // the unpartitioned window is over the C already-limited rows only
-      val cent = e
-        .withColumn("hh", CrossEngine.md5longCol(col("vec_id").cast("string")))
-        .orderBy(col("hh"), col("vec_id"))
-        .limit(nCells)
-        .withColumn("cid",
-          row_number().over(Window.orderBy(col("hh"), col("vec_id"))).cast("long"))
-        .select(col("cid"), col("v").as("cv"))
-      val scored = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"),
-          call_function("graft_cosq", col("v"), col("cv")).as("cs"))
-      // argmax by (cos DESC, cid ASC) == max of struct(cos, -cid): struct
-      // ordering is lexicographic and the cosines are the same bitwise
-      // doubles the oracle computes, so the winner matches its row_number
-      val cell = scored.groupBy("vec_id")
-        .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
-        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
-      val probeVecs = e.where(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      val wProbe = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("cid").asc)
-      val probeCells = probeVecs
-        .crossJoin(broadcast(cent))
-        .select(col("probe_id"),
-          call_function("graft_cosq", col("pv"), col("cv")).as("cs"), col("cid"))
-        .withColumn("prk", row_number().over(wProbe))
-        .where(col("prk") <= 2)
-        .select("probe_id", "cid") // SKINNY: the probe vectors re-join later
-      // probed-cell membership: broadcast the ≤ probes·nprobe cell keys so
-      // the corpus-sized assignment relation is probed in place, never
-      // exchanged; the wide-payload corpus re-join is merge-hinted (the
-      // broadcast-flip policy: at sf-test scale Catalyst would happily
-      // broadcast the whole cached corpus into this join) and the 5 probe
-      // vectors re-join by explicit broadcast AFTER it, so no wide probe
-      // array rides through the big join
-      val cand = cell.join(broadcast(probeCells), "cid")
-        .where(col("vec_id") =!= col("probe_id"))
-        .select("probe_id", "vec_id")
-      val wTop = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-      cand.join(e.hint("merge"), "vec_id")
-        .join(broadcast(probeVecs), "probe_id")
-        .select(col("probe_id"), col("vec_id"),
-          call_function("graft_cosq", col("pv"), col("v")).as("cos_sim"))
-        .withColumn("rnk", row_number().over(wTop).cast("long"))
-        .where(col("rnk") <= 10)
-        .select("probe_id", "vec_id", "rnk", "cos_sim")
-        .orderBy("probe_id", "rnk")
+      ivfTopK(tbl(s, dir, "embeddings"), col("vec_id") < 5,
+        nCells = math.ceil(math.sqrt(nRows.toDouble)).toInt)
     }),
     "q_mips_signalsh" -> ((s, dir) => {
       // SignALSH maximum-inner-product retrieval (SURVEY §2.a ops #10-12)
@@ -914,15 +954,17 @@ object SparkEntry {
       // IVF ANN: same cell count (ceil(sqrt(count(*))) — IEEE sqrt is
       // exactly rounded, so the double matches the JVM's bitwise), same
       // md5-ranked centroid sample, argmax assignment via row_number (the
-      // Spark side's max(struct(cos,-cid)) picks the identical winner)
+      // Spark side's max(struct(score,-cid)) picks the identical winner);
+      // cell RANKING uses dot/sqrt(‖c‖²) — the per-vector cosine order with
+      // ‖v‖ factored out, computed with the same op order both engines
       "q_ivf_ann" ->
         s"""WITH $qVec,
            |cn AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS c FROM embeddings),
            |h AS (SELECT vec_id, v, CAST('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hh FROM q),
-           |cent AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY hh, vec_id) AS cid, v AS cv FROM h), cn WHERE cid <= cn.c),
+           |cent AS (SELECT cid, cv, sqrt(CAST(list_sum(list_transform(cv, x -> x*x)) AS DOUBLE)) AS cnorm
+           |         FROM (SELECT row_number() OVER (ORDER BY hh, vec_id) AS cid, v AS cv FROM h), cn WHERE cid <= cn.c),
            |sc0 AS (SELECT q.vec_id, cent.cid,
-           |        CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*cent.cv[i])) AS DOUBLE) /
-           |        (sqrt(CAST(list_sum(list_transform(q.v, x -> x*x)) AS DOUBLE)) * sqrt(CAST(list_sum(list_transform(cent.cv, x -> x*x)) AS DOUBLE))) AS cs
+           |        CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*cent.cv[i])) AS DOUBLE) / cent.cnorm AS cs
            |        FROM q, cent),
            |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk FROM sc0) WHERE rk = 1),
            |pc AS (SELECT probe_id, cid FROM (SELECT vec_id AS probe_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk FROM sc0 WHERE vec_id < 5) WHERE rk <= 2),
