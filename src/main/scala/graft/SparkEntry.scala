@@ -244,12 +244,15 @@ object SparkEntry {
     *
     * Scale shape (plan-audited in docs/PLANS.md): the centroid sample is a
     * TakeOrdered (per-partition top-C + merge, no global sort); assignment
-    * argmax is a map-side-partial `max(struct(cos, -cid))` groupBy so the
-    * shuffle carries n skinny (vec_id, cid) rows — never the n×C scored
-    * cross product; candidates probe the assignment relation with a
-    * broadcast of the ≤ probes·nprobe cell keys (the assignment exchange is
-    * reused); the wide corpus re-join is merge-hinted (broadcast-flip
-    * policy) with the probe vectors re-joined by broadcast after it. */
+    * is a FUSED narrow map — graft_ivf_argmax over plan-time literal
+    * centroids, no join and no exchange at all (above
+    * graft.ivf.fusedCellLimit cells it falls back to the relational
+    * crossJoin + map-side-partial `max(struct(score, -cid))` groupBy,
+    * whose shuffle carries n skinny rows — never the n×C scored cross
+    * product); candidates probe the assignment relation with a broadcast
+    * of the ≤ probes·nprobe cell keys; the rerank broadcasts the counted
+    * candidate set at the corpus scan (merge fallback above the limit)
+    * with the probe vectors re-joined by broadcast after it. */
   def ivfTopK(
       emb: DataFrame, probeFilter: Column, nCells: Int,
       nprobe: Int = 2, k: Int = 10): DataFrame =
@@ -284,14 +287,36 @@ object SparkEntry {
         sqrt(call_function("graft_dot", col("v"), col("v")).cast("double")).as("cnorm"))
     def cellScore(vec: Column): Column =
       call_function("graft_dot", vec, col("cv")).cast("double") / col("cnorm")
-    val scored = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), cellScore(col("v")).as("cs"))
-    // argmax by (score DESC, cid ASC) == max of struct(score, -cid): struct
-    // ordering is lexicographic and the scores are the same bitwise doubles
-    // the oracle computes, so the winner matches its row_number
-    val cell = scored.groupBy("vec_id")
-      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+    // ASSIGNMENT — the operator's dominant cost (n·C·d multiply-adds).
+    // Fused path (default): collect the C = ⌈√n⌉ centroids once (C·d longs —
+    // 16 MB even at 10⁹ vectors) and assign each vector in ONE codegen loop
+    // via graft_ivf_argmax: a narrow map, no join, no exchange. The
+    // relational crossJoin + max(struct(score, −cid)) groupBy — which pays a
+    // joined-row copy and an aggregate update per (vector, cell) pair plus a
+    // shuffle of n rows — remains the fallback above
+    // graft.ivf.fusedCellLimit cells, where a driver collect of the centroid
+    // matrix would be its own hazard. Both paths pick the bitwise-identical
+    // winner (exact integer dots, same IEEE division, nan-safe comparison
+    // with ties at the smallest cid), which the oracle's row_number
+    // replicates; IvfFusedSpec pins their equality.
+    val fusedLimit = sys.props.getOrElse("graft.ivf.fusedCellLimit", "100000").toInt
+    val cell =
+      if (nCells <= fusedLimit) {
+        val centRows = cent.orderBy("cid").collect()
+        val flat = centRows.flatMap(_.getSeq[Long](1))
+        val norms = centRows.map(_.getDouble(2))
+        e.select(col("vec_id"),
+          call_function("graft_ivf_argmax", col("v"), lit(flat), lit(norms)).as("cid"))
+      } else {
+        val scored = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), cellScore(col("v")).as("cs"))
+        // argmax by (score DESC, cid ASC) == max of struct(score, -cid):
+        // struct ordering is lexicographic and the scores are the same
+        // bitwise doubles the oracle computes
+        scored.groupBy("vec_id")
+          .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
+          .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+      }
     val probeVecs = e.where(probeFilter)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val wProbe = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("cid").asc)
@@ -318,8 +343,13 @@ object SparkEntry {
       .select("probe_id", "vec_id")
       .cache()
     val candLimit = sys.props.getOrElse("graft.ivf.broadcastCandLimit", "4000000").toLong
+    val nCands = cand.count()
+    // nCands > 0 also guards the phantom-broadcast trap (an explicit
+    // broadcast of an EMPTY long-keyed relation costs ~513 MiB of storage
+    // accounting in this runtime); the empty set rides the merge branch,
+    // which is inert over zero rows
     val joined =
-      if (cand.count() <= candLimit) e.join(broadcast(cand), "vec_id")
+      if (nCands > 0 && nCands <= candLimit) e.join(broadcast(cand), "vec_id")
       else cand.join(e.hint("merge"), "vec_id")
     val wTop = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
     val out = joined

@@ -375,6 +375,12 @@ object GraftExpressions {
       "graft_hamming_sum",
       exprs => HammingSumExpr(exprs(0), exprs(1)),
       "built-in")
+    // centroids + norms are plan-time literal arrays (foldability checked by
+    // the expression's own type check, like graft_lex_count)
+    registry.createOrReplaceTempFunction(
+      "graft_ivf_argmax",
+      exprs => IvfArgmaxExpr(exprs(0), exprs(1), exprs(2)),
+      "built-in")
     // lexicon = plan-time literal array of words (foldability is checked by
     // the expression's own type check — an analysis error, not a builder
     // crash, when a column is passed; ADVICE r4)

@@ -453,6 +453,99 @@ object LenSumExpr {
   def sum(arr: ArrayData): Any = sumOrNull(arr)
 }
 
+/** graft_ivf_argmax(v, cent_flat, cnorms): 1-based id of the max-score IVF
+  * cell for quantized vector v, where score_c = double(Σ v[i]·cent_c[i]) /
+  * cnorms[c] — the FUSED narrow-map form of the relational
+  * crossJoin(centroids) → max(struct(score, −cid)) assignment. The
+  * centroid matrix (row-major flat array<bigint>, C·d elements) and the
+  * per-cell norm divisors (array<double>, C elements) are plan-time
+  * LITERALS: C = ⌈√n⌉ stays driver-collectable far past 10⁹ vectors
+  * (31.6k cells × 64 dims ≈ 16 MB), and shipping them in the plan turns
+  * the assignment's n×C joined-row stream — join row copy + aggregate
+  * update per pair — into one register loop per vector with NO exchange
+  * at all (the per-row-array-math lesson from the ANN/MIPS kernels).
+  *
+  * Semantics pinned to the relational form it replaces: exact integer
+  * dots; one IEEE division per (vector, cell) in cell order; the winner
+  * comparison mirrors Spark's nan-safe double ordering (NaN greatest,
+  * ±0.0 equal) with ties kept at the SMALLEST cid — bitwise the same
+  * winner as max(struct(score, −cid)), which the DuckDB oracle replicates
+  * via row_number() ORDER BY score DESC, cid. */
+case class IvfArgmaxExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case ArrayType(LongType, _) => second.dataType match {
+      case ArrayType(LongType, _) if second.foldable => third.dataType match {
+        case ArrayType(DoubleType, _) if third.foldable => TypeCheckResult.TypeCheckSuccess
+        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+          "graft_ivf_argmax requires a plan-time LITERAL cnorms array")
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_ivf_argmax cnorms must be array<double>, got $other")
+      }
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+        "graft_ivf_argmax requires a plan-time LITERAL centroid array")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_ivf_argmax centroids must be array<bigint>, got $other")
+    }
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+
+  // folded once per (deserialized) instance after analysis guarantees
+  // foldability — the LexCountExpr pattern
+  @transient private lazy val centFlat: Array[Long] =
+    second.eval().asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val cnorms: Array[Double] =
+    third.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  // Spark's nan-safe double comparison (Utils.nanSafeCompareDoubles is
+  // private[spark]): NaN == NaN and greater than everything; ±0.0 equal
+  private def cmpD(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+
+  def cell(v: ArrayData): Long = {
+    val c = cnorms.length
+    if (c == 0)
+      throw new IllegalArgumentException("graft_ivf_argmax: empty centroid set")
+    val d = centFlat.length / c
+    if (v.numElements() != d || centFlat.length != c * d)
+      throw new IllegalArgumentException(
+        s"graft_ivf_argmax: dim mismatch v=${v.numElements()} cells=$c flat=${centFlat.length}")
+    var bestScore = 0.0
+    var bestCid = -1
+    var ci = 0
+    while (ci < c) {
+      var dot = 0L
+      var i = 0
+      val base = ci * d
+      while (i < d) { dot += v.getLong(i) * centFlat(base + i); i += 1 }
+      val s = dot.toDouble / cnorms(ci)
+      // strictly-greater only: ascending cid order keeps ties at the
+      // smallest cid, matching max(struct(score, −cid))
+      if (bestCid < 0 || cmpD(s, bestScore) > 0) { bestScore = s; bestCid = ci }
+      ci += 1
+    }
+    bestCid + 1L // 1-based, matching the centroid sample's row_number cid
+  }
+
+  override def nullSafeEval(v: Any, cents: Any, norms: Any): Any =
+    cell(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfArgmaxExpr", this, classOf[IvfArgmaxExpr].getName)
+    defineCodeGen(ctx, ev, (v, _, _) => s"$ref.cell($v)")
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): IvfArgmaxExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "graft_ivf_argmax"
+}
+
 /** graft_cosq(a, b): exact quantized-int cosine, one fused loop. */
 case class CosineQuantizedExpr(left: Expression, right: Expression)
     extends BinaryExpression with LongArrayInput {

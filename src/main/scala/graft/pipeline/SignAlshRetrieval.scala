@@ -71,7 +71,15 @@ object SignAlshRetrieval {
     * instantiation is bitwise-reproducible by the DuckDB oracle
     * (SparkEntry q_mips_signalsh). Probes are explicitly broadcast (a
     * handful of rows); the corpus side never is. */
-  def topK(e: DataFrame, plan: MipsPlan, isProbe: Column, k: Int): DataFrame = {
+  def topK(e: DataFrame, plan: MipsPlan, isProbe: Column, k: Int): DataFrame =
+    topKWithHandle(e, plan, isProbe, k)._1
+
+  /** [[topK]] plus the pinned relations (the
+    * [[Dedup.nearDupPairsWithHandle]] contract): the cached all-tables bits
+    * projection (the index-build artifact) and the cached candidate set.
+    * Callers unpersist when done; query-gate callers rely on clearCache. */
+  def topKWithHandle(
+      e: DataFrame, plan: MipsPlan, isProbe: Column, k: Int): (DataFrame, Seq[DataFrame]) = {
     graft.functions.GraftExpressions.register(e.sparkSession)
     val P = plan.planesPerTable
     val mask = (1L << plan.bucketBits) - 1
@@ -133,20 +141,36 @@ object SignAlshRetrieval {
       .join(corpusBuckets, Seq("table_idx", "bucket"))
       .where(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id")
-    val cands =
+    val cands = (
       if (plan.tables == 1) matched
-      else matched.dropDuplicates("probe_id", "vec_id")
+      else matched.dropDuplicates("probe_id", "vec_id")).cache()
     // rank by total hamming over EVERY table's planes: candidates-only
-    // re-join to the cached bits (merge: corpus-sized unique-key side,
-    // never broadcast) + the broadcast probe bits
-    val scored = cands
-      .join(corpus.hint("merge"), "vec_id")
+    // re-join to the cached bits. Same counted posture as SparkEntry.ivfTopK:
+    // the skinny (16 B/row) candidate set is counted, and when small it is
+    // BROADCAST against the cached corpus bits — the merge form shuffle-writes
+    // the whole O(n·T)-long bits relation to look up ~probes·bucket rows
+    // (measured on the IVF twin: 400 MB shuffled for ~6k candidates at 800k
+    // vecs). Above the limit — dense candidates, where the corpus-wide sort
+    // is real work and a huge id broadcast its own hazard — the merge join
+    // runs, which AQE can skew-split. The probe bits re-join by broadcast
+    // AFTER, so no qbits array rides through the big join either way.
+    val candLimit = sys.props.getOrElse("graft.mips.broadcastCandLimit", "4000000").toLong
+    val nCands = cands.count()
+    // nCands > 0 also guards the phantom-broadcast trap (an explicit
+    // broadcast of an EMPTY long-keyed relation costs ~513 MiB of storage
+    // accounting in this runtime); the empty set rides the merge branch,
+    // which is inert over zero rows
+    val joined =
+      if (nCands > 0 && nCands <= candLimit) corpus.join(broadcast(cands), "vec_id")
+      else cands.join(corpus.hint("merge"), "vec_id")
+    val scored = joined
       .join(broadcast(probes), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         call_function("graft_hamming_sum", col("qbits"), col("bits")).as("hamming"))
     val w = Window.partitionBy("probe_id").orderBy(col("hamming").asc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val out = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("probe_id", "vec_id", "rnk", "hamming")
+    (out, Seq(corpus, cands))
   }
 }

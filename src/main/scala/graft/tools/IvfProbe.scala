@@ -37,14 +37,50 @@ object IvfProbe {
       val spark = graft.GraftSession.get(cores, s"ivf-probe-$cores")
       try {
         def run(n: Long): Double = {
-          val emb = vectors(spark, n, cores * 4)
+          // input synthesis is NOT the operator: materialize the float
+          // vectors untimed (the per-element string-concat + xxhash64
+          // generation otherwise dominates the timed region — the same
+          // honesty fix DeconProbe needed in round 5)
+          val emb = vectors(spark, n, cores * 4).cache()
+          emb.count()
           val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
+          // -Dgraft.ivf.verbose=true: per-phase walls (quantize-cache /
+          // assignment-only) before the timed full-operator run — the
+          // IncrementalProbe diagnosis pattern
+          if (java.lang.Boolean.getBoolean("graft.ivf.verbose")) {
+            graft.functions.GraftExpressions.register(spark)
+            var t = System.nanoTime()
+            val e = emb.select(col("vec_id"),
+              org.apache.spark.sql.functions.call_function(
+                "graft_quantize", col("embedding")).as("v")).cache()
+            e.count()
+            println(f"[ivf-probe]   quantize+cache: ${(System.nanoTime() - t) / 1e9}%.2f s")
+            t = System.nanoTime()
+            val cent = e
+              .withColumn("hh", graft.functions.CrossEngine.md5longCol(col("vec_id").cast("string")))
+              .orderBy(col("hh"), col("vec_id")).limit(nCells)
+              .select(col("v").as("cv"))
+            val centRows = cent.collect()
+            println(f"[ivf-probe]   centroid collect: ${(System.nanoTime() - t) / 1e9}%.2f s")
+            val flat = centRows.flatMap(_.getSeq[Long](0))
+            val norms = centRows.map(r => math.sqrt(
+              r.getSeq[Long](0).map(x => x * x).sum.toDouble))
+            t = System.nanoTime()
+            val s = e.select(org.apache.spark.sql.functions.call_function(
+                "graft_ivf_argmax", col("v"),
+                org.apache.spark.sql.functions.lit(flat),
+                org.apache.spark.sql.functions.lit(norms)).as("cid"))
+              .agg(org.apache.spark.sql.functions.sum("cid")).first().getLong(0)
+            println(f"[ivf-probe]   assignment-only: ${(System.nanoTime() - t) / 1e9}%.2f s (sum=$s)")
+            e.unpersist(blocking = false)
+          }
           val t0 = System.nanoTime()
           val (res, pinned) = graft.SparkEntry.ivfTopKWithHandle(
             emb, col("vec_id") < 32, nCells)
           val rows = res.count()
           val w = (System.nanoTime() - t0) / 1e9
           pinned.foreach(_.unpersist(blocking = false))
+          emb.unpersist(blocking = false)
           println(f"[ivf-probe] cores=$cores vecs=$n cells=$nCells wall=$w%.2f s rows=$rows")
           w
         }

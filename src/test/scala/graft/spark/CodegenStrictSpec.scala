@@ -117,6 +117,31 @@ class CodegenStrictSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(PlaneKernel.cosq(arr(vecA), arr(vecB))))
   }
 
+  test("graft_ivf_argmax compiles strictly and matches a hand argmax") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    // 3 cells: vecB, vecA itself, and −vecA — the argmax for query vecA must
+    // be its own cell (cid 2); ties can't occur here but the smallest-cid
+    // rule is pinned by IvfFusedSpec's full-relation equality
+    val cents = Array(vecB, vecA, vecA.map(x => -x))
+    val flat = cents.flatten
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    val got = strictCodegen {
+      Seq(vecA).toDF("v")
+        .select(call_function("graft_ivf_argmax", col("v"), lit(flat), lit(norms)))
+        .collect().head.getLong(0)
+    }
+    // hand replication of the kernel's exact arithmetic: integer dot,
+    // toDouble, one division, strictly-greater keeps the earliest winner
+    val scores = cents.indices.map { ci =>
+      cents(ci).indices.map(i => vecA(i) * cents(ci)(i)).sum.toDouble / norms(ci)
+    }
+    var best = 0; var ci = 1
+    while (ci < scores.length) { if (scores(ci) > scores(best)) best = ci; ci += 1 }
+    assert(got == best + 1L)
+    assert(got == 2L)
+  }
+
   test("graft_md5_minhash compiles strictly and matches the kernel") {
     import spark.implicits._
     graft.functions.GraftExpressions.register(spark)

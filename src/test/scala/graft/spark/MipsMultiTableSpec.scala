@@ -72,6 +72,28 @@ class MipsMultiTableSpec extends AnyFunSuite {
       s"parquet scan branches grew with tables: T=1→$t1, T=4→$t4, T=8→$t8")
   }
 
+  test("sparse candidates broadcast into the hamming rerank; dense fall back to merge") {
+    // the counted posture (same as SparkEntry.ivfTopK): a small candidate
+    // set must be broadcast against the cached bits relation — no
+    // corpus-wide shuffle of the O(n·T)-long bits payload — while a set
+    // above graft.mips.broadcastCandLimit rides the merge join AQE can
+    // skew-split. The branch is decided eagerly (cands.count() inside
+    // topKWithHandle), so the returned plan already embeds the choice.
+    def planOf(): String = {
+      spark.catalog.clearCache()
+      SignAlshRetrieval.topK(e, MipsPlan(3, 16, 6), col("vec_id") < 5, 10)
+        .queryExecution.optimizedPlan.toString
+    }
+    val sparse = planOf()
+    assert(!sparse.contains("merge"), s"sparse candidates took the merge rerank:\n$sparse")
+    System.setProperty("graft.mips.broadcastCandLimit", "0")
+    try {
+      val dense = planOf()
+      assert(dense.contains("merge"), s"dense candidates missing the merge rerank:\n$dense")
+    } finally System.clearProperty("graft.mips.broadcastCandLimit")
+    spark.catalog.clearCache()
+  }
+
   test("multi-table top-k is deterministic and candidate recall ≥ single-table") {
     val probe = col("vec_id") < 5
     // ground truth: exact top-10 by quantized cosine (brute force, 500 vecs)
