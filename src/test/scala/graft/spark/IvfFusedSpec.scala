@@ -37,4 +37,30 @@ class IvfFusedSpec extends AnyFunSuite {
     // sequence equality pins ranks AND bitwise cosines across the two paths
     assert(fused == relational)
   }
+
+  test("zero matching probes yields an empty result without a phantom broadcast") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val (df, pinned) = graft.SparkEntry.ivfTopKWithHandle(emb, lit(false), 23)
+    try assert(df.count() == 0L)
+    finally pinned.foreach(_.unpersist(blocking = false))
+  }
+
+  test("nCells larger than the corpus degrades to every-vector-a-centroid") {
+    // 40-vector slice, 100 requested cells: the limit caps the sample at 40
+    // centroids, every vector lands in SOME cell, and the probes still get
+    // exact top-k output (self-cell rerank)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .where(col("vec_id") < 40)
+    val (df, pinned) = graft.SparkEntry.ivfTopKWithHandle(emb, col("vec_id") < 3, 100)
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val perProbe = rows.groupBy(_.getLong(0))
+      assert(perProbe.keySet == Set(0L, 1L, 2L))
+      // ranks are 1..k' contiguous per probe
+      perProbe.values.foreach { rs =>
+        assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+      }
+    } finally pinned.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -94,6 +94,13 @@ class MipsMultiTableSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("zero matching probes yields an empty result (merge branch, no broadcast)") {
+    spark.catalog.clearCache()
+    val got = SignAlshRetrieval.topK(e, MipsPlan(2, 16, 6), lit(false), 10)
+    assert(got.count() == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("multi-table top-k is deterministic and candidate recall ≥ single-table") {
     val probe = col("vec_id") < 5
     // ground truth: exact top-10 by quantized cosine (brute force, 500 vecs)
