@@ -13,6 +13,8 @@ import graft.pipeline.{CheckpointedDedup, Decontaminate, DedupConfig, DocIds, In
   *   dedup         <pages.parquet> <storeDir>            # run/resume
   *   increment     <storeDir> <newPages.parquet>         # daily crawl
   *   decontaminate <storeDir> <eval.parquet> <outDir>    # benchmark scrub
+  *   ivf-build     <embeddings.parquet> <storeDir>       # ANN index build
+  *   ivf-query     <storeDir> <probes.parquet> <outDir>  # ANN top-k
   * }}}
   *
   * Config flags (anywhere on the command line, all optional):
@@ -39,8 +41,12 @@ object Main {
         |  dedup         <pages.parquet> <storeDir>
         |  increment     <storeDir> <newPages.parquet>
         |  decontaminate <storeDir> <eval.parquet> <outDir>
-        |flags: --seed=N --shingle-words=N --char-shingles=N --num-hashes=N
-        |       --bands=N --threshold=X --max-bucket=N --salt-window=N""".stripMargin)
+        |  ivf-build     <embeddings.parquet> <storeDir>
+        |  ivf-query     <storeDir> <probes.parquet> <outDir>
+        |dedup flags: --seed=N --shingle-words=N --char-shingles=N
+        |       --num-hashes=N --bands=N --threshold=X --max-bucket=N
+        |       --salt-window=N
+        |ivf flags: --cells=N (default ceil(sqrt(n))) --nprobe=N --topk=N""".stripMargin)
     sys.exit(2)
   }
 
@@ -79,6 +85,38 @@ object Main {
       seed = num("--seed", _.toLong, d.seed),
       maxBucket = num("--max-bucket", _.toInt, d.maxBucket),
       saltWindow = num("--salt-window", _.toInt, d.saltWindow))
+  }
+
+  private[graft] final case class IvfArgs(cells: Option[Int], nprobe: Int, topk: Int)
+
+  /** IVF subcommand flags — a separate namespace from the dedup config
+    * (the store records no hash family; its chain hash covers input +
+    * nCells). Same contract as [[parseConfig]]: unknown flags and malformed
+    * values throw, [[main]] renders usage. */
+  private[graft] def parseIvfArgs(flags: Seq[String]): IvfArgs = {
+    val known = Seq("--cells", "--nprobe", "--topk")
+    val kv = flags.map { f =>
+      f.split("=", 2) match {
+        case Array(k, v) if known.contains(k) => k -> v
+        case _ => throw new IllegalArgumentException(s"unknown flag: $f")
+      }
+    }.toMap
+    def num(k: String, default: Int): Int =
+      kv.get(k).map { v =>
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid value for $k: $v")
+        }
+      }.getOrElse(default)
+    IvfArgs(
+      cells = kv.get("--cells").map { v =>
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid value for --cells: $v")
+        }
+      },
+      nprobe = num("--nprobe", 2),
+      topk = num("--topk", 10))
   }
 
   private def session(): SparkSession =
@@ -124,8 +162,16 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.toSeq.partition(_.startsWith("--"))
-    val cfg =
+    // parsed per command family: the dedup commands take the hash-family
+    // config flags, the ivf commands their own namespace — evaluating the
+    // wrong parser would reject the other family's valid flags
+    def cfg: DedupConfig =
       try parseConfig(flags)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); usage()
+      }
+    def ivfArgs: IvfArgs =
+      try parseIvfArgs(flags)
       catch { case e: IllegalArgumentException =>
         System.err.println(e.getMessage); usage()
       }
@@ -161,6 +207,39 @@ object Main {
         caches.foreach(_.unpersist(blocking = false))
         println(s"[graft] decontaminate done: ${pairs.count()} flagged pairs → $pairsOut, " +
           s"clean list → $cleanOut")
+      case Seq("ivf-build", embPath, storeDir) =>
+        val a = ivfArgs
+        val spark = session()
+        // default cell count = the engine-wide ceil(√n) rule, n from the
+        // parquet footers (driver-side metadata, no job)
+        val nCells = a.cells.getOrElse(math.ceil(math.sqrt(
+          graft.sources.TableIO.rowCount(spark, embPath).toDouble)).toInt)
+        val report = graft.pipeline.IvfIndex.build(
+          spark, spark.read.parquet(embPath), storeDir, nCells)
+        report.stages.foreach(s => println(
+          f"[graft] stage ${s.name}%-12s ${if (s.recomputed) f"${s.millis / 1000.0}%8.1f s" else "  resumed"}"))
+        println(s"[graft] ivf-build done: ${report.vectors} vectors, " +
+          s"${report.nCells} cells, index at $storeDir")
+      case Seq("ivf-query", storeDir, probesPath, outDir) =>
+        val a = ivfArgs
+        val spark = session()
+        // probes arrive as a (vec_id) parquet and are DRIVER-COLLECTED into
+        // the filter: the IVF query contract is a small probe set (each
+        // probe costs an exact rerank of its cells), so a huge probe table
+        // is a misuse caught loudly, not a silent 100M-element In-filter
+        val ids = spark.read.parquet(probesPath)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+        require(ids.nonEmpty, s"probe table $probesPath has no rows")
+        require(ids.size <= 100000,
+          s"probe table has ${ids.size} rows — the IVF query path is per-probe " +
+            "work; batch-score a large probe set with SparkEntry.ivfTopK over " +
+            "a join instead")
+        val (res, pinned) = graft.pipeline.IvfIndex.topKWithHandle(
+          spark, storeDir, col("vec_id").isInCollection(ids), a.nprobe, a.topk)
+        res.write.mode("overwrite").parquet(outDir)
+        pinned.foreach(_.unpersist(blocking = false))
+        println(s"[graft] ivf-query done: ${spark.read.parquet(outDir).count()} " +
+          s"result rows for ${ids.size} probes → $outDir")
       case _ => usage()
     }
   }

@@ -265,102 +265,15 @@ object SparkEntry {
   def ivfTopKWithHandle(
       emb: DataFrame, probeFilter: Column, nCells: Int,
       nprobe: Int = 2, k: Int = 10): (DataFrame, Seq[DataFrame]) = {
-    graft.functions.GraftExpressions.register(emb.sparkSession)
-    val e = emb
-      .select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
+    // the kernel pieces live in pipeline/IvfIndex (shared with the
+    // checkpointed store form, so the two paths cannot drift); this entry
+    // is their in-memory composition over one pinned quantized relation
+    val e = graft.pipeline.IvfIndex.quantized(emb)
       .cache() // 4 plan branches: centroid sample, assignment, probes, rerank
-    // the unpartitioned window is over the nCells already-limited rows only
-    // each centroid carries its precomputed squared norm: cell RANKING uses
-    // dot/√‖c‖² — for a fixed vector this orders identically to cosine
-    // (cos = (dot/√‖c‖²)·(1/‖v‖), a positive per-vector constant) but skips
-    // recomputing ‖v‖ on every one of the n·C assignment pairs (the
-    // operator's dominant cost); the oracle ranks by the SAME formula so
-    // rounding knife-edges can't diverge, and the OUTPUT cos_sim below is
-    // still the exact cosine
-    val cent = e
-      .withColumn("hh", CrossEngine.md5longCol(col("vec_id").cast("string")))
-      .orderBy(col("hh"), col("vec_id"))
-      .limit(nCells)
-      .withColumn("cid",
-        row_number().over(Window.orderBy(col("hh"), col("vec_id"))).cast("long"))
-      .select(col("cid"), col("v").as("cv"),
-        sqrt(call_function("graft_dot", col("v"), col("v")).cast("double")).as("cnorm"))
-    def cellScore(vec: Column): Column =
-      call_function("graft_dot", vec, col("cv")).cast("double") / col("cnorm")
-    // ASSIGNMENT — the operator's dominant cost (n·C·d multiply-adds).
-    // Fused path (default): collect the C = ⌈√n⌉ centroids once (C·d longs —
-    // 16 MB even at 10⁹ vectors) and assign each vector in ONE codegen loop
-    // via graft_ivf_argmax: a narrow map, no join, no exchange. The
-    // relational crossJoin + max(struct(score, −cid)) groupBy — which pays a
-    // joined-row copy and an aggregate update per (vector, cell) pair plus a
-    // shuffle of n rows — remains the fallback above
-    // graft.ivf.fusedCellLimit cells, where a driver collect of the centroid
-    // matrix would be its own hazard. Both paths pick the bitwise-identical
-    // winner (exact integer dots, same IEEE division, nan-safe comparison
-    // with ties at the smallest cid), which the oracle's row_number
-    // replicates; IvfFusedSpec pins their equality.
-    val fusedLimit = sys.props.getOrElse("graft.ivf.fusedCellLimit", "100000").toInt
-    val cell =
-      if (nCells <= fusedLimit) {
-        val centRows = cent.orderBy("cid").collect()
-        val flat = centRows.flatMap(_.getSeq[Long](1))
-        val norms = centRows.map(_.getDouble(2))
-        e.select(col("vec_id"),
-          call_function("graft_ivf_argmax", col("v"), lit(flat), lit(norms)).as("cid"))
-      } else {
-        val scored = e.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("cid"), cellScore(col("v")).as("cs"))
-        // argmax by (score DESC, cid ASC) == max of struct(score, -cid):
-        // struct ordering is lexicographic and the scores are the same
-        // bitwise doubles the oracle computes
-        scored.groupBy("vec_id")
-          .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
-          .select(col("vec_id"), (-col("m.ncid")).as("cid"))
-      }
-    val probeVecs = e.where(probeFilter)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    val wProbe = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("cid").asc)
-    val probeCells = probeVecs
-      .crossJoin(broadcast(cent))
-      .select(col("probe_id"), cellScore(col("pv")).as("cs"), col("cid"))
-      .withColumn("prk", row_number().over(wProbe))
-      .where(col("prk") <= nprobe)
-      .select("probe_id", "cid") // SKINNY: the probe vectors re-join later
-    // probed-cell membership: broadcast the ≤ probes·nprobe cell keys so
-    // the corpus-sized assignment relation is probed in place, never
-    // exchanged. The candidate set is cached (skinny 16 B rows) and COUNTED:
-    // when the count proves it small (≤ graft.ivf.broadcastCandLimit, the
-    // pruned-verify posture — probes·nprobe·E[cell] ≈ 10·√n rows), the
-    // rerank probes the corpus with a broadcast of the candidates at the
-    // scan — NO corpus-wide shuffle of the wide vector payload (measured at
-    // 800k vecs: the merge form shuffle-wrote the whole 400 MB corpus to
-    // look up ~6k candidate vectors). A skewed hot cell above the limit
-    // falls back to the merge join, which AQE can skew-split. The probe
-    // vectors re-join by explicit broadcast AFTER, so no wide probe array
-    // rides through the big join either way.
-    val cand = cell.join(broadcast(probeCells), "cid")
-      .where(col("vec_id") =!= col("probe_id"))
-      .select("probe_id", "vec_id")
-      .cache()
-    val candLimit = sys.props.getOrElse("graft.ivf.broadcastCandLimit", "4000000").toLong
-    val nCands = cand.count()
-    // nCands > 0 also guards the phantom-broadcast trap (an explicit
-    // broadcast of an EMPTY long-keyed relation costs ~513 MiB of storage
-    // accounting in this runtime); the empty set rides the merge branch,
-    // which is inert over zero rows
-    val joined =
-      if (nCands > 0 && nCands <= candLimit) e.join(broadcast(cand), "vec_id")
-      else cand.join(e.hint("merge"), "vec_id")
-    val wTop = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val out = joined
-      .join(broadcast(probeVecs), "probe_id")
-      .select(col("probe_id"), col("vec_id"),
-        call_function("graft_cosq", col("pv"), col("v")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(wTop).cast("long"))
-      .where(col("rnk") <= k)
-      .select("probe_id", "vec_id", "rnk", "cos_sim")
-      .orderBy("probe_id", "rnk")
-    (out, Seq(e, cand))
+    val cent = graft.pipeline.IvfIndex.centroids(e, nCells)
+    val cell = graft.pipeline.IvfIndex.assignment(e, cent, nCells)
+    val (out, pinned) = graft.pipeline.IvfIndex.probeRerank(e, cent, cell, probeFilter, nprobe, k)
+    (out, e +: pinned)
   }
 
   /** Flagship: LSH near-duplicate pairs on the smoke corpus; driver checks rows>0. */

@@ -1,0 +1,263 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.CrossEngine
+import graft.sources.TableIO
+
+/** IVF (inverted-file) cosine-ANN index with the engine's checkpoint/resume
+  * contract: the expensive build artifacts — quantized vectors, the ⌈√n⌉
+  * centroid table, and the n-row cell assignment — are [[TableIO]] stages
+  * under a base directory, so queries NEVER re-run the O(n·C·d) assignment
+  * pass (the operator's dominant cost, BENCH/BASELINE.md), a re-run with
+  * unchanged input+config recomputes nothing, and an input or nCells change
+  * invalidates exactly the stages downstream of it via the chained config
+  * hashes (the CheckpointedDedup derivation, reused).
+  *
+  * The kernel pieces ([[quantized]]/[[centroids]]/[[assignment]]/
+  * [[probeRerank]]) are also the in-memory entry's implementation
+  * (SparkEntry.ivfTopK delegates here), so the checkpointed and in-memory
+  * paths cannot drift: IvfIndexSpec pins store-query ≡ in-memory-query
+  * equality and the oracle gates the shared arithmetic bitwise.
+  */
+object IvfIndex {
+
+  /** (vec_id, v): the quantized int64 vector relation. */
+  def quantized(emb: DataFrame): DataFrame = {
+    graft.functions.GraftExpressions.register(emb.sparkSession)
+    emb.select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
+  }
+
+  /** (cid, cv, cnorm): deterministic md5-ranked sample of nCells vectors as
+    * centroids. The sample is a TakeOrdered (per-partition top-C + merge, no
+    * global sort); the row_number window runs over the already-limited C
+    * rows only. Each centroid carries its precomputed norm: cell RANKING
+    * uses dot/√‖c‖² — for a fixed vector this orders identically to cosine
+    * (cos = (dot/√‖c‖²)·(1/‖v‖), a positive per-vector constant) but skips
+    * recomputing ‖v‖ on every (vector, cell) pair; the oracle ranks by the
+    * SAME formula so rounding knife-edges cannot diverge, and the OUTPUT
+    * cosine of [[probeRerank]] is still exact. */
+  def centroids(e: DataFrame, nCells: Int): DataFrame = {
+    graft.functions.GraftExpressions.register(e.sparkSession)
+    e.withColumn("hh", CrossEngine.md5longCol(col("vec_id").cast("string")))
+      .orderBy(col("hh"), col("vec_id"))
+      .limit(nCells)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("hh"), col("vec_id"))).cast("long"))
+      .select(col("cid"), col("v").as("cv"),
+        sqrt(call_function("graft_dot", col("v"), col("v")).cast("double")).as("cnorm"))
+  }
+
+  private def cellScore(vec: Column): Column =
+    call_function("graft_dot", vec, col("cv")).cast("double") / col("cnorm")
+
+  /** (vec_id, cid): every vector's max-score cell — the index's dominant
+    * cost (n·C·d multiply-adds).
+    *
+    * Fused path (default): collect the C = ⌈√n⌉ centroids once (C·d longs —
+    * 16 MB even at 10⁹ vectors) and assign each vector in ONE codegen loop
+    * via graft_ivf_argmax: a narrow map, no join, no exchange. The
+    * relational crossJoin + max(struct(score, −cid)) groupBy — which pays a
+    * joined-row copy and an aggregate update per (vector, cell) pair plus a
+    * shuffle of n rows — remains the fallback above
+    * -Dgraft.ivf.fusedCellLimit cells, where a driver collect of the
+    * centroid matrix would be its own hazard. Both paths pick the
+    * bitwise-identical winner (exact integer dots, same IEEE division,
+    * nan-safe comparison with ties at the smallest cid), which the oracle's
+    * row_number replicates; IvfFusedSpec pins their equality. */
+  def assignment(e: DataFrame, cent: DataFrame, nCells: Int): DataFrame = {
+    graft.functions.GraftExpressions.register(e.sparkSession)
+    val fusedLimit = sys.props.getOrElse("graft.ivf.fusedCellLimit", "100000").toInt
+    if (nCells <= fusedLimit) {
+      val centRows = cent.orderBy("cid").collect()
+      val flat = centRows.flatMap(_.getSeq[Long](1))
+      val norms = centRows.map(_.getDouble(2))
+      e.select(col("vec_id"),
+        call_function("graft_ivf_argmax", col("v"), lit(flat), lit(norms)).as("cid"))
+    } else {
+      val scored = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), cellScore(col("v")).as("cs"))
+      // argmax by (score DESC, cid ASC) == max of struct(score, -cid):
+      // struct ordering is lexicographic and the scores are the same
+      // bitwise doubles the oracle computes
+      scored.groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+    }
+  }
+
+  /** Probe + exact top-k rerank over already-built index relations.
+    *
+    * Probed-cell membership: the ≤ probes·nprobe cell keys are broadcast so
+    * the corpus-sized assignment relation is probed in place, never
+    * exchanged. The candidate set is cached (skinny 16 B rows) and COUNTED:
+    * when the count proves it small (≤ -Dgraft.ivf.broadcastCandLimit, the
+    * pruned-verify posture — probes·nprobe·E[cell] ≈ 10·√n rows), the
+    * rerank probes the corpus with a broadcast of the candidates at the
+    * scan — NO corpus-wide shuffle of the wide vector payload (measured at
+    * 800k vecs: the merge form shuffle-wrote the whole 400 MB corpus to
+    * look up ~6k candidate vectors). A skewed hot cell above the limit
+    * falls back to the merge join, which AQE can skew-split; a ZERO-row
+    * candidate set rides the merge branch too (the phantom-broadcast
+    * guard). The probe vectors re-join by explicit broadcast AFTER, so no
+    * wide probe array rides through the big join either way.
+    *
+    * @return (result, pinned candidate cache) — callers unpersist the
+    *         handle when done. */
+  def probeRerank(
+      e: DataFrame, cent: DataFrame, cell: DataFrame,
+      probeFilter: Column, nprobe: Int, k: Int): (DataFrame, Seq[DataFrame]) = {
+    val probeVecs = e.where(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wProbe = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("cid").asc)
+    val probeCells = probeVecs
+      .crossJoin(broadcast(cent))
+      .select(col("probe_id"), cellScore(col("pv")).as("cs"), col("cid"))
+      .withColumn("prk", row_number().over(wProbe))
+      .where(col("prk") <= nprobe)
+      .select("probe_id", "cid") // SKINNY: the probe vectors re-join later
+    val cand = cell.join(broadcast(probeCells), "cid")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id")
+      .cache()
+    val candLimit = sys.props.getOrElse("graft.ivf.broadcastCandLimit", "4000000").toLong
+    val nCands = cand.count()
+    val joined =
+      if (nCands > 0 && nCands <= candLimit) e.join(broadcast(cand), "vec_id")
+      else cand.join(e.hint("merge"), "vec_id")
+    val wTop = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val out = joined
+      .join(broadcast(probeVecs), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        call_function("graft_cosq", col("pv"), col("v")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .where(col("rnk") <= k)
+      .select("probe_id", "vec_id", "rnk", "cos_sim")
+      .orderBy("probe_id", "rnk")
+    (out, Seq(cand))
+  }
+
+  // ---------------------------------------------------------------- store --
+
+  final case class BuildReport(
+      stages: Seq[CheckpointedDedup.StageResult], vectors: Long, nCells: Int) {
+    def recomputedStages: Seq[String] = stages.filter(_.recomputed).map(_.name)
+  }
+
+  private val StageNames = Seq("vectors", "centroids", "assignment")
+
+  /** Per-stage chained config hashes downstream of the vectors stage —
+    * shared by [[build]] and [[topKWithHandle]]'s validation so a store
+    * whose stages were written under different inputs/configs fails fast
+    * instead of silently mixing index generations. */
+  private def chain(h0: String, nCells: Int): Map[String, String] = {
+    val h1 = CheckpointedDedup.chainHash(h0, "ivf_centroids", nCells.toString)
+    val h2 = CheckpointedDedup.chainHash(h1, "ivf_assignment", "argmax")
+    Map("centroids" -> h1, "assignment" -> h2)
+  }
+
+  /** Build (or resume) the index store at baseDir from an
+    * (vec_id, embedding: array<float>) relation. The vectors stage folds an
+    * input fingerprint (row count + order-independent xor of per-row
+    * xxhash64 over vec_id and the FULL embedding) into its hash — pointing
+    * the same baseDir at different vectors invalidates the whole chain; an
+    * nCells change invalidates centroids+assignment but leaves the
+    * (typically far larger) quantized vectors stage valid. */
+  def build(spark: SparkSession, emb: DataFrame, baseDir: String, nCells: Int): BuildReport = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    graft.functions.GraftExpressions.register(spark)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[CheckpointedDedup.StageResult]
+    def stage(name: String, hash: String, extra: Map[String, String] = Map.empty)(
+        compute: => DataFrame): CheckpointedDedup.StageResult = {
+      val dir = s"$baseDir/$name"
+      val res =
+        if (TableIO.isComplete(dir, hash))
+          CheckpointedDedup.StageResult(name, TableIO.read(spark, dir),
+            recomputed = false, millis = 0L)
+        else {
+          val t0 = System.nanoTime()
+          val df = compute
+          TableIO.write(df, dir, name, hash, (System.nanoTime() - t0) / 1000000L, extra)
+          CheckpointedDedup.StageResult(name, TableIO.read(spark, dir),
+            recomputed = true, millis = (System.nanoTime() - t0) / 1000000L)
+        }
+      stages += res
+      res
+    }
+
+    val fp = emb
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("x"))
+      .first()
+    val h0 = CheckpointedDedup.chainHash("root", "ivf_vectors", s"v1:${fp.getLong(0)}:${fp.getLong(1)}")
+    val vectorsStage = stage("vectors", h0) { quantized(emb) }
+    val hashes = chain(h0, nCells)
+    val centroidsStage = stage("centroids", hashes("centroids"),
+      Map("nCells" -> nCells.toString)) {
+      centroids(vectorsStage.df, nCells)
+    }
+    stage("assignment", hashes("assignment")) {
+      assignment(vectorsStage.df, centroidsStage.df, nCells)
+    }
+
+    val nVecs = TableIO.readManifest(s"$baseDir/vectors").map(_.rows).getOrElse(0L)
+    // metrics table: one row per stage per run (append = build history),
+    // the same resumability telemetry the dedup store keeps
+    import spark.implicits._
+    stages.toSeq.map { s =>
+      val m = TableIO.readManifest(s"$baseDir/${s.name}")
+      (s.name, m.map(_.rows).getOrElse(-1L), s.millis, s.recomputed)
+    }.toDF("stage", "rows", "millis", "recomputed")
+      .write.mode("append").parquet(s"$baseDir/metrics")
+    BuildReport(stages.toSeq, nVecs, nCells)
+  }
+
+  /** Top-k cosine ANN for every vector of the store matching probeFilter —
+    * from the checkpoints alone: no corpus re-quantization, no centroid
+    * re-sample, and above all NO re-run of the O(n·C·d) assignment. */
+  def topK(
+      spark: SparkSession, baseDir: String, probeFilter: Column,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val (out, pinned) = topKWithHandle(spark, baseDir, probeFilter, nprobe, k)
+    // the result is usually materialized once; leave pinned caches to the
+    // caller-session clearCache contract for the plain-DataFrame form
+    val _ = pinned
+    out
+  }
+
+  /** [[topK]] plus the pinned relations (the nearDupPairsWithHandle
+    * contract): the cached quantized-vectors read-back and the cached
+    * candidate set. */
+  def topKWithHandle(
+      spark: SparkSession, baseDir: String, probeFilter: Column,
+      nprobe: Int = 2, k: Int = 10): (DataFrame, Seq[DataFrame]) = {
+    graft.functions.GraftExpressions.register(spark)
+    // fail fast on a missing/partial/mixed-generation store: every stage
+    // manifest must exist and the stored hashes must CHAIN — a stage
+    // rewritten under a different input or nCells (its hash differs from
+    // the chain recomputed off the vectors manifest) must not silently
+    // serve candidates from one index generation and vectors from another
+    val manifests = StageNames.map { n =>
+      n -> TableIO.readManifest(s"$baseDir/$n").getOrElse(
+        throw new IllegalStateException(
+          s"IVF store at $baseDir is incomplete: stage '$n' has no manifest " +
+            s"(crashed or never-finished build) — re-run IvfIndex.build"))
+    }.toMap
+    val nCells = manifests("centroids").extra.getOrElse("nCells",
+      throw new IllegalStateException(
+        s"IVF store at $baseDir: centroids manifest lacks the nCells tag")).toInt
+    val expect = chain(manifests("vectors").configHash, nCells)
+    StageNames.drop(1).foreach { n =>
+      require(manifests(n).configHash == expect(n),
+        s"IVF store at $baseDir: stage '$n' was written for a different " +
+          s"input/config than the current vectors stage (hash chain broken) — " +
+          s"re-run IvfIndex.build")
+    }
+    val e = TableIO.read(spark, s"$baseDir/vectors").cache() // probe + rerank branches
+    val cent = TableIO.read(spark, s"$baseDir/centroids")
+    val cell = TableIO.read(spark, s"$baseDir/assignment")
+    val (out, pinned) = probeRerank(e, cent, cell, probeFilter, nprobe, k)
+    (out, e +: pinned)
+  }
+}

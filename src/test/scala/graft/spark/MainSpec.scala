@@ -112,4 +112,33 @@ class MainSpec extends AnyFunSuite {
     assert(clean.join(pairs.select(col("doc_id").as("id")), Seq("id")).count() == 0)
     spark.catalog.clearCache()
   }
+
+  test("ivf-build → resume → ivf-query end-to-end over one store") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-main-ivf").toString
+    val store = s"$root/index"
+    val probesPath = s"$root/probes.parquet"
+    val outDir = s"$root/ann-out"
+    val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+
+    graft.Main.main(Array("ivf-build", embPath, store))
+    // resume: a second build over the same input recomputes nothing
+    val snap = graft.sources.TableIO.readManifest(s"$store/assignment").get.snapshotId
+    graft.Main.main(Array("ivf-build", embPath, store))
+    assert(graft.sources.TableIO.readManifest(s"$store/assignment").get.snapshotId == snap,
+      "assignment stage was rewritten on resume")
+
+    Seq(0L, 1L, 2L).toDF("vec_id").write.parquet(probesPath)
+    graft.Main.main(Array("--topk=5", "ivf-query", store, probesPath, outDir))
+    val res = spark.read.parquet(outDir)
+    assert(res.select("probe_id").distinct().count() == 3)
+    assert(res.agg(max("rnk")).first().getLong(0) <= 5L)
+    // the CLI answer is the operator's answer: same store queried directly
+    val (direct, pinned) = graft.pipeline.IvfIndex.topKWithHandle(
+      spark, store, col("vec_id") < 3, 2, 5)
+    try assert(res.orderBy("probe_id", "rnk").collect().map(_.toSeq).toSeq ==
+      direct.collect().map(_.toSeq).toSeq)
+    finally pinned.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
 }
