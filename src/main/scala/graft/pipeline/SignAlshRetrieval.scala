@@ -74,31 +74,36 @@ object SignAlshRetrieval {
   def topK(e: DataFrame, plan: MipsPlan, isProbe: Column, k: Int): DataFrame =
     topKWithHandle(e, plan, isProbe, k)._1
 
-  /** [[topK]] plus the pinned relations (the
-    * [[Dedup.nearDupPairsWithHandle]] contract): the cached all-tables bits
-    * projection (the index-build artifact) and the cached candidate set.
-    * Callers unpersist when done; query-gate callers rely on clearCache. */
-  def topKWithHandle(
-      e: DataFrame, plan: MipsPlan, isProbe: Column, k: Int): (DataFrame, Seq[DataFrame]) = {
+  /** All of table t's raw plane dots in one fused codegen pass; ONE select
+    * for all tables — a per-table withColumn fold re-analyzes the growing
+    * plan each call, O(T²) driver work at planFor(10⁹)'s T=143. */
+  private def withPlaneDots(in: DataFrame, plan: MipsPlan): DataFrame =
+    in.select(col("*") +: (0 until plan.tables).map(t =>
+      call_function("graft_plane_dots", col("v"), lit("mips"),
+        lit(t * plan.planesPerTable), lit(plan.planesPerTable)).as(s"pd$t")): _*)
+
+  private def signBits(plan: MipsPlan)(term: Int => Column): Column =
+    (0 until plan.planesPerTable)
+      .map(p => when(term(p) >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** (vec_id, bits): index-side packed sign bits of the P-transform for
+    * EVERY table, in one corpus pass — the index-build artifact (O(n·T)
+    * longs; at 10⁹×143 tables this is the relation [[MipsIndex]]
+    * checkpoints). Plane dot of the P-transform = d/√M2 + s₆₄(½−‖x̂‖²) +
+    * s₆₅(½−‖x̂‖⁴) + s₆₆(½−‖x̂‖⁸), norm-component signs from the same md5
+    * family at virtual dims 64..66; maxnorm M2 = max ‖v‖² computed IN-PLAN
+    * and broadcast (no driver action). */
+  def corpusBits(e: DataFrame, plan: MipsPlan): DataFrame = {
     graft.functions.GraftExpressions.register(e.sparkSession)
     val P = plan.planesPerTable
-    val mask = (1L << plan.bucketBits) - 1
-    // maxnorm M2 = max ‖v‖² computed IN-PLAN and broadcast (no driver action)
     val m2 = e.agg(max(call_function("graft_dot", col("v"), col("v"))).as("m2"))
-    val base0 = e.crossJoin(broadcast(m2))
-      .withColumn("nv", call_function("graft_dot", col("v"), col("v")))
-    // all of table t's raw plane dots in one fused codegen pass; ONE select
-    // for all tables — a per-table withColumn fold re-analyzes the growing
-    // plan each call, O(T²) driver work at planFor(10⁹)'s T=143
-    val base = base0.select(col("*") +: (0 until plan.tables).map(t =>
-      call_function("graft_plane_dots", col("v"), lit("mips"), lit(t * P), lit(P))
-        .as(s"pd$t")): _*)
+    val base = withPlaneDots(
+      e.crossJoin(broadcast(m2))
+        .withColumn("nv", call_function("graft_dot", col("v"), col("v"))),
+      plan)
     val m2d = col("m2").cast("double")
     val n2 = col("nv").cast("double") / m2d
     val n2sq = n2 * n2
-    // index side: plane dot of the P-transform = d/√M2 + s₆₄(½−‖x̂‖²)
-    //   + s₆₅(½−‖x̂‖⁴) + s₆₆(½−‖x̂‖⁸), norm-component signs from the same
-    // md5 family at virtual dims 64..66
     def idxTerm(t: Int)(p: Int): Column = {
       val g = t * P + p
       val d = element_at(col(s"pd$t"), p + 1).cast("double") / sqrt(m2d)
@@ -106,26 +111,45 @@ object SignAlshRetrieval {
         lit(CrossEngine.rademacher("mips", g, 65).toDouble) * (lit(0.5) - n2sq) +
         lit(CrossEngine.rademacher("mips", g, 66).toDouble) * (lit(0.5) - n2sq * n2sq)
     }
-    // query side: unit-normalized, zero norm components → sign of d/‖v‖
+    base.select(col("vec_id"),
+      array((0 until plan.tables).map(t => signBits(plan)(idxTerm(t))): _*).as("bits"))
+  }
+
+  /** (probe_id, qbits): query-side sign bits for the rows matching isProbe —
+    * unit-normalized Q-transform (zero norm components → sign of d/‖v‖),
+    * which needs NO maxnorm: probes hash identically whether computed at
+    * build time or against a persisted index. The filter runs BEFORE the
+    * plane-dot projection, so per-row hash work only for the probe rows. */
+  def probeBits(e: DataFrame, plan: MipsPlan, isProbe: Column): DataFrame = {
+    graft.functions.GraftExpressions.register(e.sparkSession)
+    val base = withPlaneDots(
+      e.where(isProbe).withColumn("nv", call_function("graft_dot", col("v"), col("v"))),
+      plan)
     def qryTerm(t: Int)(p: Int): Column =
       element_at(col(s"pd$t"), p + 1).cast("double") / sqrt(col("nv").cast("double"))
-    def signBits(term: Int => Column): Column =
-      (0 until P).map(p => when(term(p) >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    base.select(col("vec_id").as("probe_id"),
+      array((0 until plan.tables).map(t => signBits(plan)(qryTerm(t))): _*).as("qbits"))
+  }
 
-    // ONE corpus pass: all tables' bits as an array column, cached (the
-    // index-build artifact — O(n·T) longs; at 10⁹×143 tables this is the
-    // persisted hash-table relation a production index would checkpoint)
-    val corpus = base.select(
-      col("vec_id"),
-      array((0 until plan.tables).map(t => signBits(idxTerm(t))): _*).as("bits"))
-      .cache()
-    // probe pass: isProbe is a pushable predicate on vec_id, so Catalyst
-    // filters BEFORE the plane-dot projection — a scan, but per-row hash
-    // work only for the handful of probe rows
-    val probes = base.where(isProbe).select(
-      col("vec_id").as("probe_id"),
-      array((0 until plan.tables).map(t => signBits(qryTerm(t))): _*).as("qbits"))
+  /** [[topK]] plus the pinned relations (the
+    * [[Dedup.nearDupPairsWithHandle]] contract): the cached all-tables bits
+    * projection (the index-build artifact) and the cached candidate set.
+    * Callers unpersist when done; query-gate callers rely on clearCache. */
+  def topKWithHandle(
+      e: DataFrame, plan: MipsPlan, isProbe: Column, k: Int): (DataFrame, Seq[DataFrame]) = {
+    val corpus = corpusBits(e, plan).cache()
+    val probes = probeBits(e, plan, isProbe)
+    val (out, pinned) = bucketRank(corpus, probes, plan, k)
+    (out, corpus +: pinned)
+  }
 
+  /** Bucket-join candidate generation + counted hamming rerank over
+    * already-computed bits relations (shared by the in-memory entry and
+    * the [[MipsIndex]] store query).
+    * @return (result, pinned candidate cache) */
+  def bucketRank(
+      corpus: DataFrame, probes: DataFrame, plan: MipsPlan, k: Int): (DataFrame, Seq[DataFrame]) = {
+    val mask = (1L << plan.bucketBits) - 1
     def bucketArr(c: Column): Column =
       array((0 until plan.tables).map(t =>
         element_at(c, t + 1).bitwiseAND(lit(mask))): _*)
@@ -171,6 +195,6 @@ object SignAlshRetrieval {
     val out = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("probe_id", "vec_id", "rnk", "hamming")
-    (out, Seq(corpus, cands))
+    (out, Seq(cands))
   }
 }

@@ -47,29 +47,20 @@ object IvfProbe {
           // -Dgraft.ivf.verbose=true: per-phase walls (quantize-cache /
           // assignment-only) before the timed full-operator run — the
           // IncrementalProbe diagnosis pattern
+          // the phases are the PRODUCTION kernel pieces (IvfIndex), not a
+          // re-derivation — a probe-local copy would drift from what ships
           if (java.lang.Boolean.getBoolean("graft.ivf.verbose")) {
-            graft.functions.GraftExpressions.register(spark)
+            import graft.pipeline.IvfIndex
             var t = System.nanoTime()
-            val e = emb.select(col("vec_id"),
-              org.apache.spark.sql.functions.call_function(
-                "graft_quantize", col("embedding")).as("v")).cache()
+            val e = IvfIndex.quantized(emb).cache()
             e.count()
             println(f"[ivf-probe]   quantize+cache: ${(System.nanoTime() - t) / 1e9}%.2f s")
             t = System.nanoTime()
-            val cent = e
-              .withColumn("hh", graft.functions.CrossEngine.md5longCol(col("vec_id").cast("string")))
-              .orderBy(col("hh"), col("vec_id")).limit(nCells)
-              .select(col("v").as("cv"))
-            val centRows = cent.collect()
-            println(f"[ivf-probe]   centroid collect: ${(System.nanoTime() - t) / 1e9}%.2f s")
-            val flat = centRows.flatMap(_.getSeq[Long](0))
-            val norms = centRows.map(r => math.sqrt(
-              r.getSeq[Long](0).map(x => x * x).sum.toDouble))
+            val cent = IvfIndex.centroids(e, nCells)
+            val nCent = cent.count()
+            println(f"[ivf-probe]   centroid sample: ${(System.nanoTime() - t) / 1e9}%.2f s ($nCent cells)")
             t = System.nanoTime()
-            val s = e.select(org.apache.spark.sql.functions.call_function(
-                "graft_ivf_argmax", col("v"),
-                org.apache.spark.sql.functions.lit(flat),
-                org.apache.spark.sql.functions.lit(norms)).as("cid"))
+            val s = IvfIndex.assignment(e, cent, nCells)
               .agg(org.apache.spark.sql.functions.sum("cid")).first().getLong(0)
             println(f"[ivf-probe]   assignment-only: ${(System.nanoTime() - t) / 1e9}%.2f s (sum=$s)")
             e.unpersist(blocking = false)
