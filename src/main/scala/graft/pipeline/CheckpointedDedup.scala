@@ -63,26 +63,10 @@ object CheckpointedDedup {
     * @param baseDir checkpoint root; stage tables live at baseDir/<stage>
     */
   def run(spark: SparkSession, pages: DataFrame, cfg: DedupConfig, baseDir: String): RunReport = {
-    val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
-
+    // run-or-resume core shared with the index stores (StageRunner)
+    val runner = new StageRunner(spark, baseDir)
     def stage(name: String, hash: String, extra: => Map[String, String] = Map.empty)(
-        compute: => DataFrame): StageResult = {
-      val dir = s"$baseDir/$name"
-      val res =
-        if (TableIO.isComplete(dir, hash))
-          StageResult(name, TableIO.read(spark, dir), recomputed = false, millis = 0L)
-        else {
-          val t0 = System.nanoTime()
-          val df = compute
-          // by-name wallMillis: evaluated after the materializing write,
-          // so the manifest records the FULL stage wall (plan + execution)
-          TableIO.write(df, dir, name, hash, (System.nanoTime() - t0) / 1000000L, extra)
-          StageResult(name, TableIO.read(spark, dir), recomputed = true,
-            millis = (System.nanoTime() - t0) / 1000000L)
-        }
-      stages += res
-      res
-    }
+        compute: => DataFrame): StageResult = runner.stage(name, hash, extra)(compute)
 
     // each stage's hash salts ONLY the config fields it actually reads, so a
     // change to (say) the verify threshold leaves upstream checkpoints valid.
@@ -95,11 +79,8 @@ object CheckpointedDedup {
     // invalidates, wherever in the page it lands. bit_xor over zero rows is
     // NULL → coalesce, so an empty input fingerprints cleanly instead of
     // NPEing.
-    val fp = pages
-      .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(expr("bit_xor(xxhash64(url, text))"), lit(0L)).as("x"))
-      .first()
-    val h0 = chainHash("root", "docs", s"v3:${fp.getLong(0)}:${fp.getLong(1)}")
+    val h0 = chainHash("root", "docs",
+      s"v3:${StageRunner.inputFingerprint(pages, "url", "text")}")
     val docsStage = stage("docs", h0) {
       // stable doc id = seeded hash of url (no monotonically_increasing_id —
       // that is partition-dependent and breaks cross-run determinism), with
@@ -216,10 +197,12 @@ object CheckpointedDedup {
       ConnectedComponents.run(docsStage.df.select("id"), verifiedStage.df.select("id_a", "id_b"))
     }
 
-    // metrics table: one row per stage per run (append = run history)
+    // metrics table: one row per stage per run (append = run history);
+    // richer than StageRunner's basic set — also carries the manifest
+    // extras (skew/verify disclosures) and a docs/sec rate
     import spark.implicits._
     val nDocs = TableIO.readManifest(s"$baseDir/docs").map(_.rows).getOrElse(0L)
-    val metricsDf = stages.toSeq.map { s =>
+    val metricsDf = runner.stages.toSeq.map { s =>
       val m = TableIO.readManifest(s"$baseDir/${s.name}")
       (s.name, m.map(_.rows).getOrElse(-1L), s.millis, s.recomputed,
         m.map(_.extra.mkString(";")).getOrElse(""),
@@ -227,6 +210,6 @@ object CheckpointedDedup {
     }.toDF("stage", "rows", "millis", "recomputed", "extra", "docs_per_sec")
     metricsDf.write.mode("append").parquet(s"$baseDir/metrics")
 
-    RunReport(clustersStage.df, verifiedStage.df, stages.toSeq, nDocs)
+    RunReport(clustersStage.df, verifiedStage.df, runner.stages.toSeq, nDocs)
   }
 }

@@ -167,50 +167,21 @@ object IvfIndex {
   def build(spark: SparkSession, emb: DataFrame, baseDir: String, nCells: Int): BuildReport = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     graft.functions.GraftExpressions.register(spark)
-    val stages = scala.collection.mutable.ArrayBuffer.empty[CheckpointedDedup.StageResult]
-    def stage(name: String, hash: String, extra: Map[String, String] = Map.empty)(
-        compute: => DataFrame): CheckpointedDedup.StageResult = {
-      val dir = s"$baseDir/$name"
-      val res =
-        if (TableIO.isComplete(dir, hash))
-          CheckpointedDedup.StageResult(name, TableIO.read(spark, dir),
-            recomputed = false, millis = 0L)
-        else {
-          val t0 = System.nanoTime()
-          val df = compute
-          TableIO.write(df, dir, name, hash, (System.nanoTime() - t0) / 1000000L, extra)
-          CheckpointedDedup.StageResult(name, TableIO.read(spark, dir),
-            recomputed = true, millis = (System.nanoTime() - t0) / 1000000L)
-        }
-      stages += res
-      res
-    }
-
-    val fp = emb
-      .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("x"))
-      .first()
-    val h0 = CheckpointedDedup.chainHash("root", "ivf_vectors", s"v1:${fp.getLong(0)}:${fp.getLong(1)}")
-    val vectorsStage = stage("vectors", h0) { quantized(emb) }
+    val runner = new StageRunner(spark, baseDir)
+    val h0 = CheckpointedDedup.chainHash("root", "ivf_vectors",
+      s"v1:${StageRunner.inputFingerprint(emb, "vec_id", "embedding")}")
+    val vectorsStage = runner.stage("vectors", h0) { quantized(emb) }
     val hashes = chain(h0, nCells)
-    val centroidsStage = stage("centroids", hashes("centroids"),
+    val centroidsStage = runner.stage("centroids", hashes("centroids"),
       Map("nCells" -> nCells.toString)) {
       centroids(vectorsStage.df, nCells)
     }
-    stage("assignment", hashes("assignment")) {
+    runner.stage("assignment", hashes("assignment")) {
       assignment(vectorsStage.df, centroidsStage.df, nCells)
     }
-
     val nVecs = TableIO.readManifest(s"$baseDir/vectors").map(_.rows).getOrElse(0L)
-    // metrics table: one row per stage per run (append = build history),
-    // the same resumability telemetry the dedup store keeps
-    import spark.implicits._
-    stages.toSeq.map { s =>
-      val m = TableIO.readManifest(s"$baseDir/${s.name}")
-      (s.name, m.map(_.rows).getOrElse(-1L), s.millis, s.recomputed)
-    }.toDF("stage", "rows", "millis", "recomputed")
-      .write.mode("append").parquet(s"$baseDir/metrics")
-    BuildReport(stages.toSeq, nVecs, nCells)
+    runner.writeBasicMetrics()
+    BuildReport(runner.stages.toSeq, nVecs, nCells)
   }
 
   /** Top-k cosine ANN for every vector of the store matching probeFilter —

@@ -40,47 +40,20 @@ object MipsIndex {
       spark: SparkSession, emb: DataFrame, baseDir: String,
       plan: Option[MipsPlan] = None): BuildReport = {
     graft.functions.GraftExpressions.register(spark)
-    val stages = scala.collection.mutable.ArrayBuffer.empty[CheckpointedDedup.StageResult]
-    def stage(name: String, hash: String, extra: Map[String, String] = Map.empty)(
-        compute: => DataFrame): CheckpointedDedup.StageResult = {
-      val dir = s"$baseDir/$name"
-      val res =
-        if (TableIO.isComplete(dir, hash))
-          CheckpointedDedup.StageResult(name, TableIO.read(spark, dir),
-            recomputed = false, millis = 0L)
-        else {
-          val t0 = System.nanoTime()
-          val df = compute
-          TableIO.write(df, dir, name, hash, (System.nanoTime() - t0) / 1000000L, extra)
-          CheckpointedDedup.StageResult(name, TableIO.read(spark, dir),
-            recomputed = true, millis = (System.nanoTime() - t0) / 1000000L)
-        }
-      stages += res
-      res
-    }
-
-    val fp = emb
-      .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("x"))
-      .first()
-    val h0 = CheckpointedDedup.chainHash("root", "mips_vectors", s"v1:${fp.getLong(0)}:${fp.getLong(1)}")
-    val vectorsStage = stage("vectors", h0) { IvfIndex.quantized(emb) }
+    val runner = new StageRunner(spark, baseDir)
+    val h0 = CheckpointedDedup.chainHash("root", "mips_vectors",
+      s"v1:${StageRunner.inputFingerprint(emb, "vec_id", "embedding")}")
+    val vectorsStage = runner.stage("vectors", h0) { IvfIndex.quantized(emb) }
     val nVecs = TableIO.readManifest(s"$baseDir/vectors").map(_.rows).getOrElse(0L)
     val p = plan.getOrElse(SignAlshRetrieval.planFor(nVecs))
-    stage("bits", bitsHash(h0, p), Map(
+    runner.stage("bits", bitsHash(h0, p), Map(
       "tables" -> p.tables.toString,
       "planesPerTable" -> p.planesPerTable.toString,
       "bucketBits" -> p.bucketBits.toString)) {
       SignAlshRetrieval.corpusBits(vectorsStage.df, p)
     }
-
-    import spark.implicits._
-    stages.toSeq.map { s =>
-      val m = TableIO.readManifest(s"$baseDir/${s.name}")
-      (s.name, m.map(_.rows).getOrElse(-1L), s.millis, s.recomputed)
-    }.toDF("stage", "rows", "millis", "recomputed")
-      .write.mode("append").parquet(s"$baseDir/metrics")
-    BuildReport(stages.toSeq, nVecs, p)
+    runner.writeBasicMetrics()
+    BuildReport(runner.stages.toSeq, nVecs, p)
   }
 
   /** Top-k MIPS for every stored vector matching probeFilter — from the
