@@ -697,6 +697,30 @@ object SparkEntry {
           col("sample_rate").cast("long").as("sample_rate"),
           col("bits_per_sample").cast("long").as("bits_per_sample"))
         .orderBy("doc_id")
+    }),
+    "q_wav_frames" -> ((s, dir) => {
+      // REAL PCM frame sampling under the bitwise gate (the brief's
+      // "frame-sample" op): the synthetic WAVs carry an actual data chunk
+      // (frames of channels × bits/8-byte samples, values from an integer
+      // spec), Multimodal.sampleWavFrames decodes every 4th frame's
+      // channel-0 sample by manual byte arithmetic (8-bit unsigned+128
+      // bias, 16/24/32-bit signed LE sign-extension, stride = the header's
+      // block align), and the oracle recomputes the expected samples from
+      // the same integer spec — encode and decode are independent code
+      // paths, so a stride/bias/sign error on either side breaks parity.
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          graft.multimodal.Multimodal.MediaRow(
+            id,
+            if (id % 2 == 0) "image" else "audio",
+            graft.multimodal.Multimodal.SyntheticMedia.bytes(id, t))
+        }
+      graft.multimodal.Multimodal.sampleWavFrames(media, every = 4)
+        .toDF()
+        .select(col("id").as("doc_id"), col("frame_idx"), col("sample"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -1004,7 +1028,38 @@ object SparkEntry {
           |       THEN CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
           |                            WHEN 2 THEN 24 ELSE 32 END
           |       ELSE 0 END AS BIGINT) AS bits_per_sample
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // expected channel-0 samples recomputed from the SyntheticMedia
+      // integer spec: raw v = (doc_id·131 + f·17) mod 2^bits for frames
+      // f ∈ {0,4,8,…} < (doc_id%40)+5; decoded = v−128 at 8 bits
+      // (unsigned+bias), else two's-complement (v−2^bits when the sign bit
+      // is set). range() takes only literal args in DuckDB (memory note),
+      // so the frame list is the literal range(0,45,4) filtered by nf.
+      "q_wav_frames" ->
+        """WITH f AS (
+          |  SELECT doc_id,
+          |         CAST((doc_id % 40) + 5 AS BIGINT) AS nf,
+          |         CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+          |                              WHEN 2 THEN 24 ELSE 32 END AS BIGINT) AS bits
+          |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 2 = 1
+          |), e AS (
+          |  SELECT doc_id, bits,
+          |         CAST(UNNEST(list_filter(range(0, 45, 4), x -> x < nf)) AS BIGINT) AS frame_idx
+          |  FROM f
+          |), v AS (
+          |  SELECT doc_id, frame_idx, bits,
+          |         (doc_id * 131 + frame_idx * 17) %
+          |           (CASE bits WHEN 8 THEN 256 WHEN 16 THEN 65536
+          |                      WHEN 24 THEN 16777216 ELSE 4294967296 END) AS raw,
+          |         CASE bits WHEN 8 THEN 128 WHEN 16 THEN 32768
+          |                   WHEN 24 THEN 8388608 ELSE 2147483648 END AS half
+          |  FROM e
+          |)
+          |SELECT doc_id, frame_idx,
+          |  CAST(CASE WHEN bits = 8 THEN raw - 128
+          |            WHEN raw >= half THEN raw - 2 * half
+          |            ELSE raw END AS BIGINT) AS sample
+          |FROM v ORDER BY doc_id, frame_idx""".stripMargin
     )
   }
 }

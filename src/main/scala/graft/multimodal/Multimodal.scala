@@ -70,12 +70,12 @@ object Multimodal {
         format: String, width: Int, height: Int,
         channels: Int, sampleRate: Int, bitsPerSample: Int)
 
-    private def le32(b: Array[Byte], off: Int): Int =
+    private[multimodal] def le32(b: Array[Byte], off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
         ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
     private def le16(b: Array[Byte], off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
-    private def ascii(b: Array[Byte], off: Int, s: String): Boolean = {
+    private[multimodal] def ascii(b: Array[Byte], off: Int, s: String): Boolean = {
       var i = 0
       while (i < s.length) { if (b(off + i) != s.charAt(i).toByte) return false; i += 1 }
       true
@@ -129,16 +129,44 @@ object Multimodal {
           if (id % 3 == 0) -((id % 2000).toInt + 1) else (id % 100000).toInt + 1)
         bb.array()
       } else {
-        val bb = java.nio.ByteBuffer.allocate(36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        // WAV with a REAL PCM data chunk (round 5): nFrames = (id%40)+5
+        // frames of `channels` samples, each bits/8 bytes LE; the raw
+        // unsigned value of frame f channel c is
+        // (id·131 + f·17 + c·7) mod 2^bits — the integer spec the
+        // q_wav_frames oracle recomputes, while Spark decodes the bytes
+        val channels = ((id % 8) + 1).toInt
+        val bits = Array(8, 16, 24, 32)((id % 4).toInt)
+        val bytesPer = bits / 8
+        val nFrames = ((id % 40) + 5).toInt
+        val dataSize = nFrames * channels * bytesPer
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        bb.position(8)
+        bb.putInt(36 + dataSize) // RIFF chunk size = file bytes − 8
         bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
         bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        bb.position(22)
-        bb.putShort(((id % 8) + 1).toShort)
-        bb.putInt((8000 + (id % 6) * 8000).toInt)
-        bb.position(34)
-        bb.putShort(Array(8, 16, 24, 32)((id % 4).toInt).toShort)
+        val rate = (8000 + (id % 6) * 8000).toInt
+        bb.putInt(16) // fmt chunk size (canonical PCM)
+        bb.putShort(1.toShort) // audio format = PCM
+        bb.putShort(channels.toShort)
+        bb.putInt(rate)
+        bb.putInt(rate * channels * bytesPer) // byte rate
+        bb.putShort((channels * bytesPer).toShort) // block align
+        bb.putShort(bits.toShort)
+        bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.putInt(dataSize)
+        val m = 1L << bits
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val v = (id * 131 + f * 17 + c * 7) % m
+            var b = 0
+            while (b < bytesPer) { bb.put(((v >> (8 * b)) & 0xFF).toByte); b += 1 }
+            c += 1
+          }
+          f += 1
+        }
         bb.array()
       }
     }
@@ -163,6 +191,56 @@ object Multimodal {
         case None => TypedMeta(r.id, r.kind, "unknown", 0, 0, 0, 0, 0)
       }
     })
+  }
+
+  final case class WavFrame(id: Long, frame_idx: Long, sample: Long)
+
+  /** REAL PCM frame sampling (the brief's "frame-sample" op, round 5):
+    * every `every`-th frame's CHANNEL-0 sample from canonical PCM WAVs,
+    * decoded by pure byte arithmetic — 8-bit WAV stores unsigned samples
+    * biased by 128; 16/24/32-bit store signed little-endian (manual
+    * sign-extension, no codec). The frame stride honors the header's
+    * channels × bits/8 block align, so multi-channel audio skips the other
+    * channels' bytes correctly. Rows that are not WAV, lack the canonical
+    * `data` chunk at offset 36, or declare a data size the payload cannot
+    * back (truncated upload) yield NO frames — at web scale a malformed
+    * media row must not crash the batch or emit garbage samples.
+    * Under the bitwise gate as q_wav_frames: SyntheticMedia writes frames
+    * from an integer spec via ByteBuffer, this decodes them back via
+    * independent manual arithmetic, and the DuckDB oracle recomputes the
+    * expected samples from the spec — an offset, stride, bias, or
+    * sign-extension error on either side breaks parity. */
+  def sampleWavFrames(media: Dataset[MediaRow], every: Int): Dataset[WavFrame] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      Headers.parse(r.bytes) match {
+        case Some(h) if h.format == "wav" && h.channels > 0 &&
+            h.bitsPerSample % 8 == 0 && h.bitsPerSample > 0 && h.bitsPerSample <= 32 &&
+            r.bytes.length >= 44 && Headers.ascii(r.bytes, 36, "data") =>
+          val bytesPer = h.bitsPerSample / 8
+          val frameBytes = h.channels * bytesPer
+          val size = Headers.le32(r.bytes, 40)
+          if (size < 0 || 44 + size > r.bytes.length) Iterator.empty
+          else {
+            val nFrames = size / frameBytes
+            val bias = 1L << (h.bitsPerSample - 1)
+            Iterator.range(0, nFrames, every).map { f =>
+              val off = 44 + f * frameBytes
+              var v = 0L
+              var b = 0
+              while (b < bytesPer) { v |= (r.bytes(off + b) & 0xFFL) << (8 * b); b += 1 }
+              val s =
+                if (h.bitsPerSample == 8) v - 128
+                else if (v >= bias) v - (bias << 1)
+                else v
+              WavFrame(r.id, f.toLong, s)
+            }
+          }
+        case _ => Iterator.empty
+      }
+    }
   }
 
   /** Metadata extraction never touches the decoder — pure column ops, so the

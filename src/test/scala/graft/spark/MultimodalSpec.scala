@@ -131,4 +131,85 @@ class MultimodalSpec extends AnyFunSuite {
     val h = Multimodal.Headers.parse(Multimodal.SyntheticMedia.bytes(2L, emoji)).get
     assert(h.width == 4, s"expected codePointCount(3)+1, got ${h.width}")
   }
+
+  test("sampleWavFrames matches the integer spec incl. sign-extended negatives") {
+    import spark.implicits._
+    // odd non-%7 ids: id%4 ∈ {1,3} → synthetic WAVs are 16- or 32-bit only
+    // (8/24-bit decode is covered by the hand-built-WAV test below).
+    // 253·131 = 33143 ≥ 2^15 → 16-bit negative at frame 0;
+    // 16400003·131 ≥ 2^31 → 32-bit negative (full sign-extension range).
+    val ids = Seq(1L, 5L, 11L, 15L, 27L, 33L, 101L, 103L, 253L, 16400003L)
+    val media = ids.toDS().map(id =>
+      Multimodal.MediaRow(id, "audio", Multimodal.SyntheticMedia.bytes(id, "t")))
+    val got = Multimodal.sampleWavFrames(media, every = 4)
+      .collect().map(f => (f.id, f.frame_idx) -> f.sample).toMap
+    val want = ids.flatMap { id =>
+      val bits = Array(8, 16, 24, 32)((id % 4).toInt)
+      val m = 1L << bits
+      val nf = ((id % 40) + 5).toInt
+      (0 until nf by 4).map { f =>
+        val v = (id * 131 + f * 17) % m
+        val s = if (bits == 8) v - 128 else if (v >= m / 2) v - m else v
+        (id, f.toLong) -> s
+      }
+    }.toMap
+    assert(got == want)
+    // sanity: the fixture really exercises negative (sign-extended) samples
+    assert(want.values.exists(_ < 0), "fixture produced no negative samples")
+  }
+
+  test("sampleWavFrames decodes 8-bit biased and 24-bit sign-extended samples") {
+    import spark.implicits._
+    // hand-built canonical WAVs (an encoder INDEPENDENT of SyntheticMedia,
+    // which never emits 8/24-bit): channel-0 raws chosen to pin the bias
+    // and sign-extension rules; channel-1 raws are decoys the stride must
+    // skip
+    def wav(channels: Int, bits: Int, frames: Seq[Seq[Long]]): Array[Byte] = {
+      val bytesPer = bits / 8
+      val dataSize = frames.length * channels * bytesPer
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      bb.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      bb.putInt(16).putShort(1).putShort(channels.toShort).putInt(8000)
+      bb.putInt(8000 * channels * bytesPer).putShort((channels * bytesPer).toShort)
+      bb.putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      frames.foreach(_.foreach { v =>
+        (0 until bytesPer).foreach(b => bb.put(((v >> (8 * b)) & 0xFF).toByte))
+      })
+      bb.array()
+    }
+    val media = Seq(
+      // 8-bit stereo: unsigned raws 0, 128, 255 → −128, 0, 127
+      Multimodal.MediaRow(1L, "audio",
+        wav(2, 8, Seq(Seq(0L, 99L), Seq(128L, 99L), Seq(255L, 99L)))),
+      // 24-bit mono: 0x800000 (sign bit) → −2^23; 0x7FFFFF → 2^23−1
+      Multimodal.MediaRow(2L, "audio",
+        wav(1, 24, Seq(Seq(0x800000L), Seq(0x7FFFFFL), Seq(0L))))).toDS()
+    val got = Multimodal.sampleWavFrames(media, every = 1)
+      .collect().map(f => (f.id, f.frame_idx) -> f.sample).toMap
+    assert(got == Map(
+      (1L, 0L) -> -128L, (1L, 1L) -> 0L, (1L, 2L) -> 127L,
+      (2L, 0L) -> -8388608L, (2L, 1L) -> 8388607L, (2L, 2L) -> 0L))
+  }
+
+  test("sampleWavFrames skips non-wav, truncated, and malformed rows silently") {
+    import spark.implicits._
+    val wav = Multimodal.SyntheticMedia.bytes(5L, "t")
+    val truncated = wav.take(50) // data size field promises more than present
+    val bmp = Multimodal.SyntheticMedia.bytes(2L, "t")
+    val garbage = Multimodal.SyntheticMedia.bytes(7L, "t")
+    val headerOnly = wav.take(44) // data chunk declared but zero backing
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", truncated),
+      Multimodal.MediaRow(2L, "image", bmp),
+      Multimodal.MediaRow(3L, "audio", garbage),
+      Multimodal.MediaRow(4L, "audio", headerOnly),
+      Multimodal.MediaRow(5L, "audio", wav)).toDS()
+    val got = Multimodal.sampleWavFrames(media, every = 4).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.id).toSet == Set(5L),
+      "only the intact WAV row may emit frames")
+  }
 }
