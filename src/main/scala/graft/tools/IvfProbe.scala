@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.IvfProbe [nVecs] [nLow] [nHigh] [reps]
   */
 object IvfProbe {
-  private def vectors(spark: SparkSession, n: Long, partitions: Int): DataFrame =
+  private[tools] def vectors(spark: SparkSession, n: Long, partitions: Int): DataFrame =
     spark.range(0, n, 1, partitions).toDF("vec_id")
       .select(col("vec_id"), (col("vec_id") / 4).cast("long").as("cid"))
       .select(col("vec_id"), expr(
