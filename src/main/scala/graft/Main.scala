@@ -223,23 +223,26 @@ object Main {
       case Seq("ivf-query", storeDir, probesPath, outDir) =>
         val a = ivfArgs
         val spark = session()
-        // probes arrive as a (vec_id) parquet and are DRIVER-COLLECTED into
-        // the filter: the IVF query contract is a small probe set (each
-        // probe costs an exact rerank of its cells), so a huge probe table
-        // is a misuse caught loudly, not a silent 100M-element In-filter
-        val ids = spark.read.parquet(probesPath)
-          .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
-        require(ids.nonEmpty, s"probe table $probesPath has no rows")
-        require(ids.size <= 100000,
-          s"probe table has ${ids.size} rows — the IVF query path is per-probe " +
+        // probes arrive as a (vec_id) parquet that broadcast-semi-joins the
+        // store's vectors at the scan (the uniform probe-set posture —
+        // VERDICT r5: the In-list literal form was a heavyweight plan node).
+        // The count guard stays: the IVF query contract is a small probe set
+        // (each probe costs an exact rerank of its cells), so a huge probe
+        // table is a misuse caught loudly before any broadcast is built.
+        val probes = spark.read.parquet(probesPath)
+          .select(col("vec_id").cast("long").as("vec_id"))
+        val nProbes = probes.count()
+        require(nProbes > 0, s"probe table $probesPath has no rows")
+        require(nProbes <= 100000,
+          s"probe table has $nProbes rows — the IVF query path is per-probe " +
             "work; batch-score a large probe set with SparkEntry.ivfTopK over " +
             "a join instead")
-        val (res, pinned) = graft.pipeline.IvfIndex.topKWithHandle(
-          spark, storeDir, col("vec_id").isInCollection(ids), a.nprobe, a.topk)
+        val (res, pinned) = graft.pipeline.IvfIndex.topKWithHandleIds(
+          spark, storeDir, probes, a.nprobe, a.topk)
         res.write.mode("overwrite").parquet(outDir)
         pinned.foreach(_.unpersist(blocking = false))
         println(s"[graft] ivf-query done: ${spark.read.parquet(outDir).count()} " +
-          s"result rows for ${ids.size} probes → $outDir")
+          s"result rows for $nProbes probes → $outDir")
       case _ => usage()
     }
   }

@@ -235,6 +235,32 @@ object SparkEntry {
     (out, Seq(pinned))
   }
 
+  /** Paragraph-level exact dedup (the CCNet/RefinedWeb sub-document op:
+    * boilerplate paragraphs duplicated across otherwise-unique documents).
+    * `paras` is any array<string> paragraph column — production corpora pass
+    * their newline rule (e.g. `split(text, "\n\n+")`); the oracle-gated
+    * query uses the deterministic 10-word-block rule because the driver's
+    * documents carry no newline structure (graft_word_blocks).
+    *
+    * Scale shape = the q_exact_dedup posture at paragraph granularity:
+    * census is a groupBy on the paragraph hash (map-side partial combine —
+    * a boilerplate paragraph with 10⁷ copies contributes ONE partial row
+    * per task, never a single-task hot key), and the mark join back is by
+    * the same hash with the agg side hint-proofed shuffle_hash (one row per
+    * DISTINCT paragraph — unbounded key set, no broadcast flips). Output is
+    * the per-paragraph scrub list: keep the first occurrence of each
+    * duplicated paragraph, drop the rest (is_dup marks ALL copies; n_copies
+    * lets the caller pick any keep rule without re-running the census). */
+  def paragraphDedup(d: DataFrame, paras: Column): DataFrame = {
+    val p = d.select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        md5(col("para")).as("h"))
+    val c = p.groupBy("h").agg(count(lit(1)).as("n_copies")).hint("shuffle_hash")
+    p.join(c, "h")
+      .select(col("doc_id"), col("para_idx"), col("n_copies"),
+        (col("n_copies") >= lit(2L)).as("is_dup"))
+  }
+
   /** Production IVF cosine-ANN entry (the q_ivf_ann kernel over any
     * `(vec_id, embedding: Array[Float])` relation) — the coarse-quantizer
     * twin of the LSH-bucketed ANN path. Centroids are a deterministic
@@ -331,6 +357,46 @@ object SparkEntry {
       // Rabin–Karp rolling kernel.
       winnowPairsBy(docs(s, dir),
         call_function("graft_winnow_md5", col("text"), lit(8), lit(16)))._1),
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // Sub-document (paragraph-level) exact dedup — see [[paragraphDedup]].
+      // The deterministic paragraph rule is 10-word blocks (final partial
+      // block included): the driver's documents are single-line, so a
+      // newline rule would be vacuous here; the production entry takes any
+      // paragraph array column.
+      graft.functions.GraftExpressions.register(s)
+      paragraphDedup(docs(s, dir),
+        call_function("graft_word_blocks", col("text"), lit(10)))
+        .orderBy("doc_id", "para_idx")
+    }),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: most-frequent word-2-gram
+      // character mass, duplicated-2-gram character mass, duplicate-block
+      // ("line") fraction. ALL per-row reductions → ONE fused codegen
+      // expression, so the plan is a narrow map with ZERO exchanges — the
+      // relational form (explode → groupBy(doc_id, gram) → argmax) would
+      // shuffle the corpus' entire token stream for a query that needs no
+      // cross-doc information. Integer masses + single final divisions →
+      // bitwise-oracleable; tie-break = smallest gram in UTF-8 byte order
+      // (≡ DuckDB ORDER BY c DESC, g ASC — see GramKernel.repStats).
+      graft.functions.GraftExpressions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          call_function("graft_rep_stats", col("text"), lit(2), lit(10)).as("r"))
+        .select(
+          col("doc_id"),
+          col("r.top_gram").as("top_2gram"),
+          col("r.top_count").as("top_2gram_count"),
+          when(col("n_chars") > 0,
+            (col("r.top_count") * length(col("r.top_gram")).cast("long")).cast("double")
+              / col("n_chars").cast("double")).as("top_2gram_char_frac"),
+          when(col("r.mass_all") > 0,
+            col("r.mass_dup").cast("double") / col("r.mass_all").cast("double"))
+            .as("dup_2gram_char_frac"),
+          when(col("r.nb") > 0,
+            (col("r.nb") - col("r.ndb")).cast("double") / col("r.nb").cast("double"))
+            .as("dup_line_frac"))
+        .orderBy("doc_id")
+    }),
     "q_token_stats" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -785,6 +851,42 @@ object SparkEntry {
            |       FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
            |       WHERE c >= 2)
            |SELECT doc_a, doc_b, n_shared, overlap FROM ov WHERE overlap >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+      // paragraph rule = 10-word blocks, final partial block included:
+      // ⌈len/10⌉ blocks via integer arithmetic ((len+9)//10 — a float ceil
+      // could fork the engines at a representation boundary); slice
+      // ws[i*10+1 : i*10+10] is 1-based inclusive and truncates at len,
+      // exactly GramKernel.wordBlocks
+      "q_paragraph_dedup" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |p AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+          |        md5(array_to_string(ws[i*10+1:i*10+10], ' ')) AS h
+          |      FROM t, UNNEST(list_transform(range(0, (len(ws)+9)//10), x -> x)) u(i)),
+          |c AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies FROM p GROUP BY h)
+          |SELECT doc_id, para_idx, n_copies, (n_copies >= 2) AS is_dup
+          |FROM p JOIN c USING (h)
+          |ORDER BY doc_id, para_idx""".stripMargin,
+      // relational recomputation of the fused graft_rep_stats kernel: the
+      // row_number tie-break (c DESC, gr ASC) ≡ the kernel's UTF-8-byte-order
+      // smallest-gram rule; masses are exact integers, single final division
+      "q_repetition" ->
+        """WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws FROM documents),
+          |p AS (SELECT doc_id, array_to_string(ws[i*10+1:i*10+10], ' ') AS para
+          |      FROM t, UNNEST(list_transform(range(0, (len(ws)+9)//10), x -> x)) u(i)),
+          |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(count(DISTINCT para) AS BIGINT) AS ndb FROM p GROUP BY 1),
+          |g AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS gr FROM t, UNNEST(list_transform(range(1, len(ws)), x -> x)) u(i)),
+          |c AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY 1, 2),
+          |top AS (SELECT doc_id, gr, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gr ASC) AS rn FROM c),
+          |m AS (SELECT doc_id, CAST(sum(c*length(gr)) AS BIGINT) AS mass_all,
+          |        CAST(coalesce(sum(CASE WHEN c >= 2 THEN c*length(gr) END), 0) AS BIGINT) AS mass_dup
+          |      FROM c GROUP BY 1)
+          |SELECT t.doc_id, top.gr AS top_2gram, CAST(top.c AS BIGINT) AS top_2gram_count,
+          |  CASE WHEN n_chars > 0 THEN CAST(top.c*length(top.gr) AS DOUBLE)/CAST(n_chars AS DOUBLE) END AS top_2gram_char_frac,
+          |  CASE WHEN mass_all > 0 THEN CAST(mass_dup AS DOUBLE)/CAST(mass_all AS DOUBLE) END AS dup_2gram_char_frac,
+          |  CASE WHEN nb > 0 THEN CAST(nb-ndb AS DOUBLE)/CAST(nb AS DOUBLE) END AS dup_line_frac
+          |FROM t LEFT JOIN top ON top.doc_id = t.doc_id AND top.rn = 1
+          |       LEFT JOIN b ON b.doc_id = t.doc_id
+          |       LEFT JOIN m ON m.doc_id = t.doc_id
+          |ORDER BY t.doc_id""".stripMargin,
       "q_token_stats" ->
         """SELECT doc_id,
           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

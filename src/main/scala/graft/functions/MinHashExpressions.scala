@@ -403,5 +403,19 @@ object GraftExpressions {
       exprs => WinnowExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2)), lit2Long(exprs(3)),
         md5Mode = false),
       "built-in")
+    // word-gram string arrays + the fused per-row repetition statistics
+    // (sub-document dedup / Gopher repetition signals — round 6)
+    registry.createOrReplaceTempFunction(
+      "graft_word_ngrams",
+      exprs => WordGramsExpr(exprs(0), lit2Int(exprs(1)), blockMode = false),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_word_blocks",
+      exprs => WordGramsExpr(exprs(0), lit2Int(exprs(1)), blockMode = true),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_rep_stats",
+      exprs => RepStatsExpr(exprs(0), lit2Int(exprs(1)), lit2Int(exprs(2))),
+      "built-in")
   }
 }

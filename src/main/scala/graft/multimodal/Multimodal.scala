@@ -61,10 +61,12 @@ object Multimodal {
   /** REAL header parsing for container formats whose typed metadata is pure
     * byte arithmetic — no codec required, so this part of the decode path is
     * NOT stubbed. BMP (BITMAPINFOHEADER: 'BM', int32-LE width/height at
-    * offsets 18/22) and canonical WAV (RIFF/WAVE with a leading fmt chunk:
-    * uint16-LE channels @22, uint32-LE sample rate @24, uint16-LE bits
-    * @34) cover the image/audio metadata contract; entropy-coded formats
-    * (JPEG/PNG/MP3) still route to [[StubDecoder]]. */
+    * offsets 18/22) and WAV (RIFF/WAVE; the `fmt ` chunk is found by
+    * WALKING the chunk list, so LIST/INFO/fact chunks before it are skipped
+    * — uint16-LE channels / uint32-LE sample rate / uint16-LE bits at
+    * offsets 2/4/14 within the chunk) cover the image/audio metadata
+    * contract; entropy-coded formats (JPEG/PNG/MP3) still route to
+    * [[StubDecoder]]. */
   object Headers {
     final case class MediaHeader(
         format: String, width: Int, height: Int,
@@ -81,13 +83,35 @@ object Multimodal {
       true
     }
 
+    /** Walk the RIFF chunk list of a WAVE payload for the chunk with the
+      * given 4-byte id, returning (dataOffset, dataSize) of its content.
+      * Real-world PCM WAVs interleave LIST/INFO/fact chunks between `fmt `
+      * and `data` — pinning fixed offsets (the round-5 form) silently
+      * yielded zero frames on any non-canonical layout (ADVICE r5). Chunks
+      * are word-aligned: an odd-sized chunk is followed by one pad byte.
+      * Malformed sizes (negative, or running past the payload) stop the
+      * walk — a truncated upload must yield None, never a wild read. */
+    private[multimodal] def findRiffChunk(
+        bytes: Array[Byte], id: String): Option[(Int, Int)] = {
+      var off = 12 // past RIFF<size>WAVE
+      while (off + 8 <= bytes.length) {
+        val size = le32(bytes, off + 4)
+        if (size < 0 || off + 8 + size > bytes.length) return None
+        if (ascii(bytes, off, id)) return Some((off + 8, size))
+        off += 8 + size + (size & 1)
+      }
+      None
+    }
+
     def parse(bytes: Array[Byte]): Option[MediaHeader] =
       if (bytes.length >= 26 && ascii(bytes, 0, "BM"))
         Some(MediaHeader("bmp", le32(bytes, 18), le32(bytes, 22), 0, 0, 0))
-      else if (bytes.length >= 36 && ascii(bytes, 0, "RIFF") &&
-          ascii(bytes, 8, "WAVE") && ascii(bytes, 12, "fmt "))
-        Some(MediaHeader("wav", 0, 0,
-          le16(bytes, 22), le32(bytes, 24), le16(bytes, 34)))
+      else if (bytes.length >= 36 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))
+        // fmt fields at offsets 2/4/14 within the fmt chunk's content —
+        // located by the chunk walk, not a pinned file offset
+        findRiffChunk(bytes, "fmt ").collect { case (o, sz) if sz >= 16 =>
+          MediaHeader("wav", 0, 0, le16(bytes, o + 2), le32(bytes, o + 4), le16(bytes, o + 14))
+        }
       else None
   }
 
@@ -201,10 +225,13 @@ object Multimodal {
     * biased by 128; 16/24/32-bit store signed little-endian (manual
     * sign-extension, no codec). The frame stride honors the header's
     * channels × bits/8 block align, so multi-channel audio skips the other
-    * channels' bytes correctly. Rows that are not WAV, lack the canonical
-    * `data` chunk at offset 36, or declare a data size the payload cannot
-    * back (truncated upload) yield NO frames — at web scale a malformed
-    * media row must not crash the batch or emit garbage samples.
+    * channels' bytes correctly. The `fmt ` and `data` chunks are located by
+    * walking the RIFF chunk list (real-world PCM WAVs carry LIST/INFO/fact
+    * chunks between them — round 6; the round-5 form pinned offset 36 and
+    * silently yielded zero frames on those). Rows that are not WAV, have no
+    * `data` chunk, or declare a chunk size the payload cannot back
+    * (truncated upload) yield NO frames — at web scale a malformed media
+    * row must not crash the batch or emit garbage samples.
     * Under the bitwise gate as q_wav_frames: SyntheticMedia writes frames
     * from an integer spec via ByteBuffer, this decodes them back via
     * independent manual arithmetic, and the DuckDB oracle recomputes the
@@ -217,26 +244,28 @@ object Multimodal {
     media.flatMap { r =>
       Headers.parse(r.bytes) match {
         case Some(h) if h.format == "wav" && h.channels > 0 &&
-            h.bitsPerSample % 8 == 0 && h.bitsPerSample > 0 && h.bitsPerSample <= 32 &&
-            r.bytes.length >= 44 && Headers.ascii(r.bytes, 36, "data") =>
-          val bytesPer = h.bitsPerSample / 8
-          val frameBytes = h.channels * bytesPer
-          val size = Headers.le32(r.bytes, 40)
-          if (size < 0 || 44 + size > r.bytes.length) Iterator.empty
-          else {
-            val nFrames = size / frameBytes
-            val bias = 1L << (h.bitsPerSample - 1)
-            Iterator.range(0, nFrames, every).map { f =>
-              val off = 44 + f * frameBytes
-              var v = 0L
-              var b = 0
-              while (b < bytesPer) { v |= (r.bytes(off + b) & 0xFFL) << (8 * b); b += 1 }
-              val s =
-                if (h.bitsPerSample == 8) v - 128
-                else if (v >= bias) v - (bias << 1)
-                else v
-              WavFrame(r.id, f.toLong, s)
-            }
+            h.bitsPerSample % 8 == 0 && h.bitsPerSample > 0 && h.bitsPerSample <= 32 =>
+          // the data chunk is LOCATED by the RIFF walk (LIST/fact chunks may
+          // precede it); the walk's bounds check already rejects a declared
+          // size the payload cannot back (truncated upload → no frames)
+          Headers.findRiffChunk(r.bytes, "data") match {
+            case Some((dataOff, size)) =>
+              val bytesPer = h.bitsPerSample / 8
+              val frameBytes = h.channels * bytesPer
+              val nFrames = size / frameBytes
+              val bias = 1L << (h.bitsPerSample - 1)
+              Iterator.range(0, nFrames, every).map { f =>
+                val off = dataOff + f * frameBytes
+                var v = 0L
+                var b = 0
+                while (b < bytesPer) { v |= (r.bytes(off + b) & 0xFFL) << (8 * b); b += 1 }
+                val s =
+                  if (h.bitsPerSample == 8) v - 128
+                  else if (v >= bias) v - (bias << 1)
+                  else v
+                WavFrame(r.id, f.toLong, s)
+              }
+            case None => Iterator.empty
           }
         case _ => Iterator.empty
       }

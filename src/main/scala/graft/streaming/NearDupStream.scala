@@ -119,13 +119,19 @@ object NearDupStream {
         // NOT appended again (a duplicate member would burn a cap slot per
         // redelivery — a hot doc could evict every genuine later member —
         // and double-emit its pairs forever). Its pairs ARE re-evaluated
-        // above: a re-crawl that changed the text carries a new fp, and
-        // OR-amplified duplicate emissions are the documented contract.
-        st =
-          if (st.ids.contains(docId)) st
-          else if (st.ids.length < maxMembers)
+        // above, and its STORED fp is refreshed to this arrival's: a
+        // re-crawl whose text changed carries a new fp, and leaving the
+        // first-seen fp in state would make every FUTURE arrival
+        // hamming-compare against a fingerprint of text that no longer
+        // exists (ADVICE r5 — the newest-write-wins contract).
+        st = {
+          val at = st.ids.indexOf(docId)
+          if (at >= 0) {
+            if (st.fps(at) == fp) st else st.copy(fps = st.fps.updated(at, fp))
+          } else if (st.ids.length < maxMembers)
             BucketState(docId :: st.ids, fp :: st.fps, st.dropped)
           else st.copy(dropped = st.dropped + 1) // capped: disclose, don't grow
+        }
       }
       state.update(st.copy(maxTs = maxTs))
       onUpdate(state, maxTs)

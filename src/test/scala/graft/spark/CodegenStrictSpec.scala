@@ -416,6 +416,40 @@ class CodegenStrictSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_word_ngrams / graft_word_blocks / graft_rep_stats compile strictly and match the kernels") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val cases = Seq(
+      "a b c d e f g", "solo", "", "a  b", // double space → empty token kept
+      "x y x y x z", "ünïcode wörds ünïcode wörds")
+    val rows = strictCodegen {
+      cases.toDF("t")
+        .select(
+          call_function("graft_word_ngrams", col("t"), lit(2)).as("g"),
+          call_function("graft_word_blocks", col("t"), lit(3)).as("b"),
+          call_function("graft_rep_stats", col("t"), lit(2), lit(3)).as("r"),
+          col("t"))
+        .collect()
+    }
+    rows.foreach { r =>
+      val t = UTF8String.fromString(r.getString(3))
+      def strs(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      assert(r.getSeq[String](0) == strs(graft.functions.GramKernel.wordNgrams(t, 2)))
+      assert(r.getSeq[String](1) == strs(graft.functions.GramKernel.wordBlocks(t, 3)))
+      val k = graft.functions.GramKernel.repStats(t, 2, 3)
+      val s = r.getStruct(2)
+      assert(Option(s.getAs[String]("top_gram")) ==
+        Option(k.getUTF8String(0)).map(_.toString))
+      assert(s.getAs[java.lang.Long]("top_count") ==
+        (if (k.isNullAt(1)) null else java.lang.Long.valueOf(k.getLong(1))))
+      assert(s.getAs[Long]("mass_all") == k.getLong(2))
+      assert(s.getAs[Long]("mass_dup") == k.getLong(3))
+      assert(s.getAs[Long]("nb") == k.getLong(4))
+      assert(s.getAs[Long]("ndb") == k.getLong(5))
+    }
+  }
+
   test("graft_lex_count with a NON-LITERAL lexicon is a clear analysis error") {
     import spark.implicits._
     graft.functions.GraftExpressions.register(spark)

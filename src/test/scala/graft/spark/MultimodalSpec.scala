@@ -77,6 +77,9 @@ class MultimodalSpec extends AnyFunSuite {
     "RIFF".zipWithIndex.foreach { case (c, i) => wav(i) = c.toByte }
     "WAVE".zipWithIndex.foreach { case (c, i) => wav(8 + i) = c.toByte }
     "fmt ".zipWithIndex.foreach { case (c, i) => wav(12 + i) = c.toByte }
+    // fmt chunk SIZE (16) at offset 16 — the round-6 chunk walker validates
+    // it (the round-5 parser read pinned offsets and accepted a zero size)
+    putLe32(wav, 16, 16)
     putLe16(wav, 22, 2); putLe32(wav, 24, 44100); putLe16(wav, 34, 16)
     // pure-Scala parser contract
     val hb = Headers.parse(bmp).get
@@ -192,6 +195,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Map(
       (1L, 0L) -> -128L, (1L, 1L) -> 0L, (1L, 2L) -> 127L,
       (2L, 0L) -> -8388608L, (2L, 1L) -> 8388607L, (2L, 2L) -> 0L))
+  }
+
+  test("non-canonical RIFF layouts: LIST/fact chunks are walked, not fatal") {
+    import spark.implicits._
+    // real-world PCM WAVs interleave LIST/INFO/fact chunks between `fmt `
+    // and `data` (ADVICE r5: the offset-36 parser silently yielded zero
+    // frames on them). Build 16-bit mono with (a) a LIST chunk between fmt
+    // and data, (b) a fact chunk BEFORE fmt, (c) an ODD-sized chunk whose
+    // pad byte the walker must skip.
+    def chunk(id: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + content.length + (content.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(content.length).put(content)
+      bb.array() // trailing pad byte (if odd) stays zero
+    }
+    def fmtChunk(channels: Int, bits: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val bytesPer = bits / 8
+      bb.putShort(1).putShort(channels.toShort).putInt(8000)
+        .putInt(8000 * channels * bytesPer).putShort((channels * bytesPer).toShort)
+        .putShort(bits.toShort)
+      bb.array()
+    }
+    def dataChunk(samples: Seq[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => bb.putShort(s.toShort))
+      chunk("data", bb.array())
+    }
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val samples = Seq(100L, -200L, 300L)
+    val listBetween = riff(chunk("fmt ", fmtChunk(1, 16)),
+      chunk("LIST", "INFOsoft".getBytes("US-ASCII")), dataChunk(samples))
+    val factBefore = riff(chunk("fact", Array[Byte](4, 0, 0, 0)),
+      chunk("fmt ", fmtChunk(1, 16)), dataChunk(samples))
+    val oddChunk = riff(chunk("junk", Array[Byte](1, 2, 3)), // size 3 → pad byte
+      chunk("fmt ", fmtChunk(1, 16)), dataChunk(samples))
+    // header metadata resolves through the walk on all three layouts
+    Seq(listBetween, factBefore, oddChunk).foreach { b =>
+      val h = Multimodal.Headers.parse(b).get
+      assert(h.format == "wav" && h.channels == 1 &&
+        h.sampleRate == 8000 && h.bitsPerSample == 16, "walked header")
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", listBetween),
+      Multimodal.MediaRow(2L, "audio", factBefore),
+      Multimodal.MediaRow(3L, "audio", oddChunk)).toDS()
+    val got = Multimodal.sampleWavFrames(media, every = 1)
+      .collect().map(f => (f.id, f.frame_idx) -> f.sample).toMap
+    val want = Seq(1L, 2L, 3L).flatMap(id =>
+      samples.zipWithIndex.map { case (s, f) => (id, f.toLong) -> s }).toMap
+    assert(got == want)
   }
 
   test("sampleWavFrames skips non-wav, truncated, and malformed rows silently") {
