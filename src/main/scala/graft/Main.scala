@@ -14,7 +14,11 @@ import graft.pipeline.{CheckpointedDedup, Decontaminate, DedupConfig, DocIds, In
   *   increment     <storeDir> <newPages.parquet>         # daily crawl
   *   decontaminate <storeDir> <eval.parquet> <outDir>    # benchmark scrub
   *   ivf-build     <embeddings.parquet> <storeDir>       # ANN index build
+  *   ivf-append    <storeDir> <newEmb.parquet>           # daily vector drop
   *   ivf-query     <storeDir> <probes.parquet> <outDir>  # ANN top-k
+  *   mips-build    <embeddings.parquet> <storeDir>       # MIPS index build
+  *   mips-append   <storeDir> <newEmb.parquet>           # daily vector drop
+  *   mips-query    <storeDir> <probes.parquet> <outDir>  # MIPS top-k
   * }}}
   *
   * Config flags (anywhere on the command line, all optional):
@@ -42,11 +46,17 @@ object Main {
         |  increment     <storeDir> <newPages.parquet>
         |  decontaminate <storeDir> <eval.parquet> <outDir>
         |  ivf-build     <embeddings.parquet> <storeDir>
+        |  ivf-append    <storeDir> <newEmbeddings.parquet>
         |  ivf-query     <storeDir> <probes.parquet> <outDir>
+        |  mips-build    <embeddings.parquet> <storeDir>
+        |  mips-append   <storeDir> <newEmbeddings.parquet>
+        |  mips-query    <storeDir> <probes.parquet> <outDir>
         |dedup flags: --seed=N --shingle-words=N --char-shingles=N
         |       --num-hashes=N --bands=N --threshold=X --max-bucket=N
         |       --salt-window=N
-        |ivf flags: --cells=N (default ceil(sqrt(n))) --nprobe=N --topk=N""".stripMargin)
+        |ivf flags:  --cells=N (default ceil(sqrt(n))) --nprobe=N --topk=N
+        |mips flags: --tables=N --planes=N --bucket-bits=N (all three or
+        |       none — default planFor(n)) --topk=N""".stripMargin)
     sys.exit(2)
   }
 
@@ -119,6 +129,40 @@ object Main {
       topk = num("--topk", 10))
   }
 
+  private[graft] final case class MipsArgs(
+      plan: Option[graft.pipeline.SignAlshRetrieval.MipsPlan], topk: Int)
+
+  /** MIPS subcommand flags. The three plan knobs come together or not at
+    * all: a partial plan (say --tables without --bucket-bits) silently
+    * mixing user values with planFor defaults would be a config the user
+    * never asked for. */
+  private[graft] def parseMipsArgs(flags: Seq[String]): MipsArgs = {
+    val known = Seq("--tables", "--planes", "--bucket-bits", "--topk")
+    val kv = flags.map { f =>
+      f.split("=", 2) match {
+        case Array(k, v) if known.contains(k) => k -> v
+        case _ => throw new IllegalArgumentException(s"unknown flag: $f")
+      }
+    }.toMap
+    def num(k: String): Option[Int] =
+      kv.get(k).map { v =>
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid value for $k: $v")
+        }
+      }
+    val planKnobs = Seq(num("--tables"), num("--planes"), num("--bucket-bits"))
+    val plan = planKnobs match {
+      case Seq(Some(t), Some(p), Some(b)) =>
+        Some(graft.pipeline.SignAlshRetrieval.MipsPlan(t, p, b))
+      case Seq(None, None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "--tables/--planes/--bucket-bits must be given together (or none, " +
+          "for the planFor(n) default)")
+    }
+    MipsArgs(plan, num("--topk").getOrElse(10))
+  }
+
   private def session(): SparkSession =
     // spark-submit (and any cluster launcher) injects spark.master; honor
     // the cluster config wholesale. The local fallback is the tuned dev
@@ -175,6 +219,27 @@ object Main {
       catch { case e: IllegalArgumentException =>
         System.err.println(e.getMessage); usage()
       }
+    def mipsArgs: MipsArgs =
+      try parseMipsArgs(flags)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); usage()
+      }
+    // shared by ivf-query and mips-query: a (vec_id) parquet that
+    // broadcast-semi-joins the store's vectors at the scan (the uniform
+    // probe-set posture). The count guard stays: each probe costs an exact
+    // rerank of its cells/buckets, so a huge probe table is a misuse caught
+    // loudly before any broadcast is built.
+    def probeSet(spark: SparkSession, probesPath: String): (DataFrame, Long) = {
+      val probes = spark.read.parquet(probesPath)
+        .select(col("vec_id").cast("long").as("vec_id"))
+      val nProbes = probes.count()
+      require(nProbes > 0, s"probe table $probesPath has no rows")
+      require(nProbes <= 100000,
+        s"probe table has $nProbes rows — the store query path is per-probe " +
+          "work; batch-score a large probe set with the in-memory entries " +
+          "(SparkEntry.ivfTopK / SignAlshRetrieval.topK) over a join instead")
+      (probes, nProbes)
+    }
     pos match {
       case Seq("dedup", pages, storeDir) =>
         val spark = session()
@@ -223,25 +288,54 @@ object Main {
       case Seq("ivf-query", storeDir, probesPath, outDir) =>
         val a = ivfArgs
         val spark = session()
-        // probes arrive as a (vec_id) parquet that broadcast-semi-joins the
-        // store's vectors at the scan (the uniform probe-set posture —
-        // VERDICT r5: the In-list literal form was a heavyweight plan node).
-        // The count guard stays: the IVF query contract is a small probe set
-        // (each probe costs an exact rerank of its cells), so a huge probe
-        // table is a misuse caught loudly before any broadcast is built.
-        val probes = spark.read.parquet(probesPath)
-          .select(col("vec_id").cast("long").as("vec_id"))
-        val nProbes = probes.count()
-        require(nProbes > 0, s"probe table $probesPath has no rows")
-        require(nProbes <= 100000,
-          s"probe table has $nProbes rows — the IVF query path is per-probe " +
-            "work; batch-score a large probe set with SparkEntry.ivfTopK over " +
-            "a join instead")
+        val (probes, nProbes) = probeSet(spark, probesPath)
         val (res, pinned) = graft.pipeline.IvfIndex.topKWithHandleIds(
           spark, storeDir, probes, a.nprobe, a.topk)
         res.write.mode("overwrite").parquet(outDir)
         pinned.foreach(_.unpersist(blocking = false))
         println(s"[graft] ivf-query done: ${spark.read.parquet(outDir).count()} " +
+          s"result rows for $nProbes probes → $outDir")
+      case Seq("ivf-append", storeDir, newEmbPath) =>
+        val spark = session()
+        val r = graft.pipeline.IvfIndex.append(
+          spark, spark.read.parquet(newEmbPath), storeDir)
+        if (r.newVectors == 0)
+          println(s"[graft] ivf-append: nothing new (${r.droppedExisting} " +
+            s"re-delivered ids dropped), store unchanged")
+        else
+          println(s"[graft] ivf-append committed at ${r.incDir}: " +
+            s"${r.newVectors} new vectors assigned against the frozen " +
+            s"centroids (${r.droppedExisting} re-delivered ids dropped)")
+      case Seq("mips-build", embPath, storeDir) =>
+        val a = mipsArgs
+        val spark = session()
+        val report = graft.pipeline.MipsIndex.build(
+          spark, spark.read.parquet(embPath), storeDir, a.plan)
+        report.stages.foreach(s => println(
+          f"[graft] stage ${s.name}%-12s ${if (s.recomputed) f"${s.millis / 1000.0}%8.1f s" else "  resumed"}"))
+        println(s"[graft] mips-build done: ${report.vectors} vectors, plan " +
+          s"T=${report.plan.tables}/P=${report.plan.planesPerTable}/" +
+          s"b=${report.plan.bucketBits}, index at $storeDir")
+      case Seq("mips-append", storeDir, newEmbPath) =>
+        val spark = session()
+        val r = graft.pipeline.MipsIndex.append(
+          spark, spark.read.parquet(newEmbPath), storeDir)
+        if (r.newVectors == 0)
+          println(s"[graft] mips-append: nothing new (${r.droppedExisting} " +
+            s"re-delivered ids dropped), store unchanged")
+        else
+          println(s"[graft] mips-append committed at ${r.incDir}: " +
+            s"${r.newVectors} new vectors hashed under the frozen plan/maxnorm " +
+            s"(${r.droppedExisting} re-delivered ids dropped)")
+      case Seq("mips-query", storeDir, probesPath, outDir) =>
+        val a = mipsArgs
+        val spark = session()
+        val (probes, nProbes) = probeSet(spark, probesPath)
+        val (res, pinned) = graft.pipeline.MipsIndex.topKWithHandleIds(
+          spark, storeDir, probes, a.topk)
+        res.write.mode("overwrite").parquet(outDir)
+        pinned.foreach(_.unpersist(blocking = false))
+        println(s"[graft] mips-query done: ${spark.read.parquet(outDir).count()} " +
           s"result rows for $nProbes probes → $outDir")
       case _ => usage()
     }

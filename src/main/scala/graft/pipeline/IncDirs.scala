@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.sources.TableIO
+
+/** Append-only inc-k snapshot directories for the RETRIEVAL stores
+  * ([[IvfIndex]]/[[MipsIndex]]) — the [[IncrementalDedup]] increment layout
+  * (strict `inc-<k>` naming, gap-free 1..k, manifest-complete = committed,
+  * tmp-dir + atomic rename commit, loud lost-race) generalized over the
+  * store's stage list. IncrementalDedup keeps its own copy because its
+  * commit is interleaved with pair/cluster union writes; the semantics are
+  * deliberately identical. */
+private[pipeline] object IncDirs {
+
+  /** Committed inc dirs in order, with THREE fail-fast gates:
+    *  - strict `inc-(\d+)` naming (stray dirs ignored, never misparsed);
+    *  - gap-free numbering 1..k — a deleted middle increment means rows
+    *    referenced by later state silently vanish from every union read;
+    *  - every listed stage has a manifest (manifest = the stage's atomic
+    *    last write; a crash mid-append leaves a partial dir that must be
+    *    quarantined, not silently consumed). */
+  def committed(baseDir: String, stages: Seq[String], what: String): Seq[(Int, String)] = {
+    val strict = "^inc-(\\d+)$".r
+    val base = Paths.get(baseDir)
+    val found =
+      if (!Files.exists(base)) Seq.empty
+      else {
+        val it = Files.list(base)
+        try it.iterator().asScala.toSeq
+          .map(_.getFileName.toString)
+          .collect { case n @ strict(k) => (k.toInt, s"$baseDir/$n") }
+          .sortBy(_._1)
+        finally it.close()
+      }
+    found.map(_._1).zipWithIndex.foreach { case (num, idx) =>
+      require(num == idx + 1,
+        s"$what at $baseDir has a GAP in its append sequence: inc-${idx + 1} " +
+          s"is missing but inc-$num exists — its rows would silently vanish " +
+          s"from every union read; restore inc-${idx + 1} or rebuild")
+    }
+    for ((_, dir) <- found; stage <- stages)
+      require(TableIO.readManifest(s"$dir/$stage").isDefined,
+        s"append at $dir is PARTIAL (stage '$stage' has no manifest — a crash " +
+          s"mid-write?); quarantine or delete that directory to proceed")
+    found
+  }
+
+  /** Stage the writes into a unique tmp dir, then publish by atomic rename
+    * to `inc-<k>` — concurrent readers can never observe an in-progress
+    * append. A lost commit race (someone else published inc-k first) is a
+    * LOUD error: the staged work is left in place for inspection and the
+    * caller must re-run (its anti-join will then see the winner's rows). */
+  def commit(baseDir: String, k: Int, what: String)(write: String => Unit): String = {
+    val finalDir = s"$baseDir/inc-$k"
+    val tmp = s"$finalDir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    Files.createDirectories(Paths.get(tmp))
+    write(tmp)
+    def lostRace(): Nothing =
+      throw new IllegalStateException(
+        s"$what append lost a commit race: $finalDir already exists (a " +
+          s"concurrent appender published first); staged work left at $tmp — " +
+          s"inspect/delete it and re-run (the re-run will see the winner's rows)")
+    if (Files.exists(Paths.get(finalDir))) lostRace()
+    try Files.move(Paths.get(tmp), Paths.get(finalDir))
+    catch { case _: java.nio.file.FileAlreadyExistsException => lostRace() }
+    finalDir
+  }
+
+  /** WARN about stale inc-*.tmp-* staging dirs (crashed appends) — never
+    * delete them: one may belong to a LIVE concurrent appender. */
+  def warnStray(baseDir: String): Unit = {
+    val base = Paths.get(baseDir)
+    if (Files.exists(base)) {
+      val it = Files.list(base)
+      val stray =
+        try it.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("inc-\\d+\\.tmp-.*")).toSeq
+        finally it.close()
+      stray.foreach(d => System.err.println(
+        s"[graft] WARN: stale append staging dir $baseDir/$d (crashed append " +
+          s"or live concurrent appender) — delete manually if abandoned"))
+    }
+  }
+}

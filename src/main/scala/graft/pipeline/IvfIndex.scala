@@ -138,8 +138,13 @@ object IvfIndex {
     // nEval==0 posture, ADVICE r5)
     val probeVecs = probeVecs0.cache()
     if (probeVecs.count() == 0) {
+      // schema-identical to the populated path (incl. cos_sim's
+      // NULLABILITY — graft_cosq is nullable, a bare lit(0.0) is not, and
+      // a caller unioning empty+populated results would hit an analyzer
+      // mismatch); IvfIndexSpec pins the equality
       val empty = e.select(col("vec_id").as("probe_id"), col("vec_id"),
-        lit(0L).as("rnk"), lit(0.0).as("cos_sim")).limit(0)
+        lit(0L).as("rnk"),
+        when(col("vec_id").isNotNull, lit(0.0)).as("cos_sim")).limit(0)
       return (empty, Seq(probeVecs))
     }
     val wProbe = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("cid").asc)
@@ -242,11 +247,70 @@ object IvfIndex {
     (out, e +: pinned)
   }
 
-  /** Validate the store's manifest chain and open its three relations
-    * (vectors CACHED — it feeds the probe and rerank branches). */
-  private def openStore(
-      spark: SparkSession, baseDir: String): (DataFrame, DataFrame, DataFrame) = {
+  // ------------------------------------------------------------- append --
+
+  private val IncStageNames = Seq("vectors", "assignment")
+
+  final case class AppendReport(
+      incDir: String, newVectors: Long, droppedExisting: Long,
+      stages: Seq[CheckpointedDedup.StageResult])
+
+  /** Append new (vec_id, embedding) rows to a completed store WITHOUT
+    * re-paying the base's O(n·C·d) assignment — the store's whole point is
+    * amortizing that pass, and before round 6 any input change invalidated
+    * the full chain (VERDICT r5 missing #2). Centroids are FROZEN (the
+    * coarse quantizer is the index's geometry; re-sampling it would move
+    * every existing vector's cell), so the work is exactly:
+    *  - an id anti-join against the stored ids (re-delivered vec_ids are
+    *    dropped, the IncrementalDedup re-crawl posture — an id collision
+    *    would serve two vectors under one key). Skinny id-only scan of the
+    *    union, hint-proofed shuffle_hash (the store side is unbounded);
+    *  - quantization + fused argmax assignment of ONLY the new rows — a
+    *    narrow O(new·C·d) map against the base centroids;
+    *  - an `inc-k/{vectors,assignment}` snapshot, committed by tmp-dir +
+    *    atomic rename ([[IncDirs]]; gap-free numbering, manifest-complete =
+    *    committed, loud lost-race).
+    * The inc vectors manifest records the base ASSIGNMENT hash as its
+    * `base` tag: queries validate every append still chains off the
+    * CURRENT base generation, so a base rebuilt under different input or
+    * nCells fails fast instead of mixing index generations.
+    * Zero genuinely-new rows → nothing written (report with incDir = ""). */
+  def append(spark: SparkSession, newEmb: DataFrame, baseDir: String): AppendReport = {
     graft.functions.GraftExpressions.register(spark)
+    IncDirs.warnStray(baseDir)
+    val (baseManifests, nCells, incs) = validateStore(baseDir)
+    val baseChain = chain(baseManifests("vectors").configHash, nCells)("assignment")
+    val existingIds =
+      (Seq(s"$baseDir/vectors") ++ incs.map { case (_, d) => s"$d/vectors" })
+        .map(d => TableIO.read(spark, d).select("vec_id"))
+        .reduce(_ unionByName _)
+    val newVecs = quantized(newEmb)
+      .join(existingIds.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+      .cache()
+    try {
+      val nNew = newVecs.count()
+      val nDropped = newEmb.count() - nNew
+      if (nNew == 0) return AppendReport("", 0L, nDropped, Seq.empty)
+      val cent = TableIO.read(spark, s"$baseDir/centroids")
+      val k = incs.map(_._1).maxOption.getOrElse(0) + 1
+      val hv = CheckpointedDedup.chainHash(baseChain, "ivf_append_vectors",
+        s"$k:v1:${StageRunner.inputFingerprint(newVecs, "vec_id", "v")}")
+      val ha = CheckpointedDedup.chainHash(hv, "ivf_append_assignment", "argmax")
+      var stages: Seq[CheckpointedDedup.StageResult] = Seq.empty
+      val incDir = IncDirs.commit(baseDir, k, "IVF store") { tmp =>
+        val runner = new StageRunner(spark, tmp)
+        val vStage = runner.stage("vectors", hv, Map("base" -> baseChain)) { newVecs }
+        runner.stage("assignment", ha) { assignment(vStage.df, cent, nCells) }
+        stages = runner.stages.toSeq
+      }
+      AppendReport(incDir, nNew, nDropped, stages)
+    } finally newVecs.unpersist(blocking = false)
+  }
+
+  /** Base-store manifest validation shared by [[openStore]] and [[append]]:
+    * returns the base manifests, nCells, and the committed appends. */
+  private def validateStore(
+      baseDir: String): (Map[String, TableIO.Manifest], Int, Seq[(Int, String)]) = {
     // fail fast on a missing/partial/mixed-generation store: every stage
     // manifest must exist and the stored hashes must CHAIN — a stage
     // rewritten under a different input or nCells (its hash differs from
@@ -268,9 +332,40 @@ object IvfIndex {
           s"input/config than the current vectors stage (hash chain broken) — " +
           s"re-run IvfIndex.build")
     }
-    val e = TableIO.read(spark, s"$baseDir/vectors").cache() // probe + rerank branches
+    // appended snapshots: committed (gap-free, manifest-complete) AND
+    // chained — each inc must extend THIS base generation (its recorded
+    // `base` tag is the current base assignment hash) and be internally
+    // consistent (assignment hash chains off its vectors hash)
+    val incs = IncDirs.committed(baseDir, IncStageNames, "IVF store")
+    incs.foreach { case (_, dir) =>
+      val vm = TableIO.readManifest(s"$dir/vectors").get
+      val am = TableIO.readManifest(s"$dir/assignment").get
+      require(vm.extra.get("base").contains(expect("assignment")),
+        s"IVF store append at $dir was built against a DIFFERENT base " +
+          s"generation (the base was rebuilt under other input/nCells since) " +
+          s"— delete the inc-* dirs and re-append, or rebuild the store")
+      require(am.configHash ==
+        CheckpointedDedup.chainHash(vm.configHash, "ivf_append_assignment", "argmax"),
+        s"IVF store append at $dir: assignment does not chain off its own " +
+          s"vectors stage (hash chain broken) — quarantine that increment")
+    }
+    (manifests, nCells, incs)
+  }
+
+  /** Validate the store (base chain + every committed append) and open its
+    * three relations — vectors and assignment as the UNION of base + incs
+    * (vectors CACHED: it feeds the probe and rerank branches). */
+  private def openStore(
+      spark: SparkSession, baseDir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftExpressions.register(spark)
+    val (_, _, incs) = validateStore(baseDir)
+    def unioned(stage: String): DataFrame =
+      (Seq(s"$baseDir/$stage") ++ incs.map { case (_, d) => s"$d/$stage" })
+        .map(d => TableIO.read(spark, d))
+        .reduce(_ unionByName _)
+    val e = unioned("vectors").cache() // probe + rerank branches
     val cent = TableIO.read(spark, s"$baseDir/centroids")
-    val cell = TableIO.read(spark, s"$baseDir/assignment")
+    val cell = unioned("assignment")
     (e, cent, cell)
   }
 }

@@ -95,11 +95,27 @@ object SignAlshRetrieval {
     * and broadcast (no driver action). */
   def corpusBits(e: DataFrame, plan: MipsPlan): DataFrame = {
     graft.functions.GraftExpressions.register(e.sparkSession)
-    val P = plan.planesPerTable
     val m2 = e.agg(max(call_function("graft_dot", col("v"), col("v"))).as("m2"))
+    corpusBitsFrom(e.crossJoin(broadcast(m2)), plan)
+  }
+
+  /** [[corpusBits]] with the maxnorm M2 FROZEN to a known value instead of
+    * the in-plan max — the [[MipsIndex]] append path: the P-transform's
+    * norm terms are functions of ‖v‖²/M2, so appended vectors hash
+    * identically to the base build only under the base build's M2 (and a
+    * new vector with ‖v‖² > M2 violates the ALSH contract outright — the
+    * caller validates and fails fast, the reference's maxnorm guard,
+    * sign_alsh.jl:95-105). Bitwise-identical to [[corpusBits]] whenever the
+    * literal equals the in-plan max (MipsIndexSpec pins it). */
+  def corpusBitsWithM2(e: DataFrame, plan: MipsPlan, m2: Long): DataFrame = {
+    graft.functions.GraftExpressions.register(e.sparkSession)
+    corpusBitsFrom(e.withColumn("m2", lit(m2)), plan)
+  }
+
+  private def corpusBitsFrom(eWithM2: DataFrame, plan: MipsPlan): DataFrame = {
+    val P = plan.planesPerTable
     val base = withPlaneDots(
-      e.crossJoin(broadcast(m2))
-        .withColumn("nv", call_function("graft_dot", col("v"), col("v"))),
+      eWithM2.withColumn("nv", call_function("graft_dot", col("v"), col("v"))),
       plan)
     val m2d = col("m2").cast("double")
     val n2 = col("nv").cast("double") / m2d

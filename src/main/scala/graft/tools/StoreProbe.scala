@@ -59,12 +59,35 @@ object StoreProbe {
       }
       val mipsQ1 = mipsQuery(); val mipsQ2 = mipsQuery()
 
+      // append evidence (round 6): a 1/8-size daily drop must cost O(new),
+      // not the full O(n) assignment/hashing the store amortizes. Delta
+      // vectors REUSE base embeddings under fresh ids so the MIPS frozen-
+      // maxnorm guard passes by construction; cached untimed.
+      val nDelta = nVecs / 8
+      val delta = emb.where(col("vec_id") < nDelta)
+        .withColumn("vec_id", col("vec_id") + nVecs).cache()
+      delta.count()
+      val (ivfRep, ivfAppend) = secs(
+        graft.pipeline.IvfIndex.append(spark, delta, s"$root/ivf"))
+      require(ivfRep.newVectors == nDelta)
+      val ivfQ3 = ivfQuery() // post-append query: union read-back overhead
+      val (mipsRep, mipsAppend) = secs(
+        graft.pipeline.MipsIndex.append(spark, delta, s"$root/mips"))
+      require(mipsRep.newVectors == nDelta)
+      val mipsQ3 = mipsQuery()
+
       println(f"[store-probe] ivf build=$ivfBuild%.2f s query=$ivfQ1%.2f/$ivfQ2%.2f s " +
         f"(cells=$nCells); mips build=$mipsBuild%.2f s query=$mipsQ1%.2f/$mipsQ2%.2f s " +
         s"(plan=${mipsReport.plan})")
+      println(f"[store-probe] append (n/8 = $nDelta new): ivf=$ivfAppend%.2f s " +
+        f"(build-ratio ${ivfAppend / ivfBuild}%.2f), mips=$mipsAppend%.2f s " +
+        f"(build-ratio ${mipsAppend / mipsBuild}%.2f); post-append query " +
+        f"ivf=$ivfQ3%.2f s mips=$mipsQ3%.2f s")
       println(s"""{"metric":"store_probe","vecs":$nVecs,"cores":$cores,""" +
         f""""ivf_build_sec":$ivfBuild%.2f,"ivf_query_sec":${math.min(ivfQ1, ivfQ2)}%.2f,""" +
-        f""""mips_build_sec":$mipsBuild%.2f,"mips_query_sec":${math.min(mipsQ1, mipsQ2)}%.2f}""")
+        f""""mips_build_sec":$mipsBuild%.2f,"mips_query_sec":${math.min(mipsQ1, mipsQ2)}%.2f,""" +
+        f""""ivf_append_sec":$ivfAppend%.2f,"mips_append_sec":$mipsAppend%.2f,""" +
+        f""""ivf_postappend_query_sec":$ivfQ3%.2f,"mips_postappend_query_sec":$mipsQ3%.2f}""")
     } finally spark.stop()
   }
 }

@@ -58,6 +58,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(byCluster.exists(_.size >= 2), "no multi-doc clusters — fixture broken")
   }
 
+  test("metrics_inc reads across schema generations (mergeSchema posture)") {
+    // the round-5 rename forked the metrics_inc parquet schema mid-store
+    // (verified_pairs → pairs_adjudicated + verified_pairs_total); a plain
+    // read over a mixed dir silently drops whichever generation's columns
+    // the sampled footer lacks. readMetricsInc must surface BOTH.
+    val n = 80L
+    val all = PagesGen.pages(spark, n, seed = 3L, partitions = 4)
+    val dir = tmp("graft-inc-metrics")
+    CheckpointedDedup.run(spark, all.where(col("id") % 2 === 0).drop("id"), cfg, dir)
+    IncrementalDedup.run(spark, all.where(col("id") % 2 === 1).drop("id"), cfg, dir)
+    // simulate a PRE-round-5 store generation: a row with only the legacy
+    // column set (no pairs_adjudicated / verified_pairs_total)
+    import spark.implicits._
+    Seq(("inc-0-legacy", 11L, 7L, "1234", true))
+      .toDF("stage", "new_docs", "verified_pairs", "salt", "recomputed")
+      .write.mode("append").parquet(s"$dir/metrics_inc")
+    val m = IncrementalDedup.readMetricsInc(spark, dir)
+    val cols = m.columns.toSet
+    assert(Set("pairs_adjudicated", "verified_pairs_total", "verified_pairs")
+      .subsetOf(cols), s"merged schema missing columns: $cols")
+    val rows = m.collect().map(r =>
+      r.getAs[String]("stage") -> Option(r.getAs[Any]("pairs_adjudicated"))).toMap
+    // legacy row readable with NULL new columns; current row carries both
+    assert(rows("inc-0-legacy").isEmpty)
+    assert(rows("inc-1").nonEmpty)
+    // and the transition generation still writes the legacy column so a
+    // round-4 reader over this store keeps seeing it
+    val cur = m.where(col("stage") === "inc-1").collect().head
+    assert(cur.getAs[Long]("verified_pairs") == cur.getAs[Long]("verified_pairs_total"))
+  }
+
   test("readAll reconstructs the union; latest returns the newest pair tables") {
     val n = 120L
     val all = PagesGen.pages(spark, n, seed = 3L, partitions = 4)

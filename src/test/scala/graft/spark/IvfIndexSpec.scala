@@ -51,6 +51,31 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(snaps == snaps2)
   }
 
+  test("probe-id relation form ≡ filter form; empty probe set short-circuits") {
+    val dir = tmpDir()
+    IvfIndex.build(spark, emb, dir, nCells = 23)
+    import spark.implicits._
+    // relation form (the CLI's broadcast-semi-join posture) must return
+    // exactly what the equivalent filter form returns
+    val ids = Seq(0L, 1L, 2L, 3L, 4L).toDF("vec_id")
+    val (byIds, p1) = IvfIndex.topKWithHandleIds(spark, dir, ids)
+    val fromIds = try collect(byIds) finally p1.foreach(_.unpersist(blocking = false))
+    val (byFilter, p2) = IvfIndex.topKWithHandle(spark, dir, col("vec_id") < 5)
+    val fromFilter = try collect(byFilter) finally p2.foreach(_.unpersist(blocking = false))
+    assert(fromIds.nonEmpty && fromIds == fromFilter)
+    // empty probe set: empty result with the SAME schema, and no broadcast
+    // in the plan (the phantom-broadcast guard, ADVICE r5)
+    val (emptyRes, p3) = IvfIndex.topKWithHandle(spark, dir, col("vec_id") < 0)
+    try {
+      assert(emptyRes.schema == byFilter.schema,
+        s"${emptyRes.schema} != ${byFilter.schema}")
+      assert(emptyRes.count() == 0)
+      val plan = emptyRes.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("broadcast"),
+        s"empty probe set must not build a broadcast:\n$plan")
+    } finally p3.foreach(_.unpersist(blocking = false))
+  }
+
   test("nCells change invalidates centroids+assignment but not vectors") {
     val dir = tmpDir()
     IvfIndex.build(spark, emb, dir, nCells = 23)
@@ -69,6 +94,73 @@ class IvfIndexSpec extends AnyFunSuite {
     IvfIndex.build(spark, emb, dir, nCells = 23)
     val r = IvfIndex.build(spark, emb.where(col("vec_id") < 400), dir, nCells = 23)
     assert(r.recomputedStages == Seq("vectors", "centroids", "assignment"))
+  }
+
+  test("append ≡ full rebuild at frozen centroids; re-deliveries dropped; appends stack") {
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta1 = emb.where(col("vec_id") % 5 === 0 && col("vec_id") % 10 =!= 5)
+    val delta2 = emb.where(col("vec_id") % 10 === 5)
+    val dir = tmpDir()
+    IvfIndex.build(spark, base, dir, nCells = 23)
+    val r1 = IvfIndex.append(spark, delta1, dir)
+    assert(r1.newVectors == delta1.count() && r1.droppedExisting == 0)
+    assert(r1.incDir.endsWith("inc-1"))
+    assert(r1.stages.map(_.name) == Seq("vectors", "assignment"))
+    val r2 = IvfIndex.append(spark, delta2, dir)
+    assert(r2.incDir.endsWith("inc-2") && r2.newVectors == delta2.count())
+    // a re-delivery (everything already stored) writes nothing
+    val r3 = IvfIndex.append(spark, delta1, dir)
+    assert(r3.newVectors == 0 && r3.droppedExisting == delta1.count())
+    assert(r3.incDir.isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/inc-3")))
+
+    // equality target: the same probe against relations rebuilt in memory
+    // over the UNION with the base's FROZEN centroids (a full rebuild would
+    // re-sample centroids from the union — frozen geometry is the contract)
+    val (got, p1) = IvfIndex.topKWithHandle(spark, dir, col("vec_id") < 12, nprobe = 2, k = 10)
+    val fromStore = try collect(got) finally p1.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    val eAll = IvfIndex.quantized(emb)
+    val cent = IvfIndex.centroids(IvfIndex.quantized(base), 23)
+    val cell = IvfIndex.assignment(eAll, cent, 23)
+    val (want, p2) = IvfIndex.probeRerank(eAll, cent, cell, col("vec_id") < 12, 2, 10)
+    val fromMem = try collect(want) finally p2.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    assert(fromStore.nonEmpty && fromStore == fromMem)
+    // the probe set crosses base and appended vectors (vec_id 0,5,10 ∈ deltas)
+    assert(fromStore.map(_.head).toSet.exists(id => id.asInstanceOf[Long] % 5 == 0))
+  }
+
+  test("append validation: partial inc, gap, and base-rebuilt-under-other-config fail fast") {
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val dir = tmpDir()
+    IvfIndex.build(spark, base, dir, nCells = 23)
+    IvfIndex.append(spark, delta, dir)
+    // partial: drop the inc assignment manifest
+    val mf = java.nio.file.Paths.get(s"$dir/inc-1/assignment/_manifest.json")
+    val saved = java.nio.file.Files.readAllBytes(mf)
+    java.nio.file.Files.delete(mf)
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndex.topKWithHandle(spark, dir, col("vec_id") < 5)
+    }
+    assert(e1.getMessage.contains("PARTIAL") && e1.getMessage.contains("inc-1"))
+    java.nio.file.Files.write(mf, saved)
+    // gap: rename inc-1 to inc-2
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/inc-1"), java.nio.file.Paths.get(s"$dir/inc-2"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.topKWithHandle(spark, dir, col("vec_id") < 5)
+    }
+    assert(e2.getMessage.contains("GAP"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/inc-2"), java.nio.file.Paths.get(s"$dir/inc-1"))
+    // base rebuilt under a different nCells: the append no longer chains
+    IvfIndex.build(spark, base, dir, nCells = 31)
+    val e3 = intercept[IllegalArgumentException] {
+      IvfIndex.topKWithHandle(spark, dir, col("vec_id") < 5)
+    }
+    assert(e3.getMessage.contains("DIFFERENT base generation"))
   }
 
   test("missing stage and broken hash chain fail fast") {

@@ -140,5 +140,83 @@ class MainSpec extends AnyFunSuite {
       direct.collect().map(_.toSeq).toSeq)
     finally pinned.foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()
+
+    // ivf-append: a vector drop extends the store without touching the base
+    val dropPath = s"$root/drop.parquet"
+    spark.read.parquet(embPath).where(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.parquet(dropPath)
+    graft.Main.main(Array("ivf-append", store, dropPath))
+    assert(graft.sources.TableIO.readManifest(s"$store/assignment").get.snapshotId == snap,
+      "base assignment rewritten by append")
+    assert(graft.sources.TableIO.readManifest(s"$store/inc-1/vectors").get.rows == 3L)
+    // the appended ids are queryable
+    val probes2 = s"$root/probes2.parquet"
+    Seq(1000000L).toDF("vec_id").write.parquet(probes2)
+    val outDir2 = s"$root/ann-out2"
+    graft.Main.main(Array("--topk=5", "ivf-query", store, probes2, outDir2))
+    assert(spark.read.parquet(outDir2).count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("mips-build → mips-append → mips-query end-to-end over one store") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-main-mips").toString
+    val store = s"$root/index"
+    val probesPath = s"$root/probes.parquet"
+    val outDir = s"$root/mips-out"
+    val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+
+    graft.Main.main(Array("--tables=3", "--planes=16", "--bucket-bits=6",
+      "mips-build", embPath, store))
+    // resume
+    val snap = graft.sources.TableIO.readManifest(s"$store/bits").get.snapshotId
+    graft.Main.main(Array("--tables=3", "--planes=16", "--bucket-bits=6",
+      "mips-build", embPath, store))
+    assert(graft.sources.TableIO.readManifest(s"$store/bits").get.snapshotId == snap,
+      "bits stage was rewritten on resume")
+
+    // append a small drop under new ids (norms inside the corpus range —
+    // copies of existing vectors, so the frozen-maxnorm guard passes)
+    val dropPath = s"$root/drop.parquet"
+    spark.read.parquet(embPath).where(col("vec_id") < 2)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.parquet(dropPath)
+    graft.Main.main(Array("mips-append", store, dropPath))
+    assert(graft.sources.TableIO.readManifest(s"$store/inc-1/bits").get.rows == 2L)
+
+    // query a mixed probe set (a base id + an appended id)
+    Seq(0L, 1000000L).toDF("vec_id").write.parquet(probesPath)
+    graft.Main.main(Array("--topk=5", "mips-query", store, probesPath, outDir))
+    val res = spark.read.parquet(outDir)
+    assert(res.select("probe_id").distinct().count() == 2)
+    assert(res.agg(max("rnk")).first().getLong(0) <= 5L)
+    // the CLI answer is the operator's answer
+    val (direct, pinned) = graft.pipeline.MipsIndex.topKWithHandleIds(
+      spark, store, Seq(0L, 1000000L).toDF("vec_id"), 5)
+    try assert(res.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    finally pinned.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
+  test("parseMipsArgs: plan knobs all-or-none; unknown flags named") {
+    import graft.pipeline.SignAlshRetrieval.MipsPlan
+    assert(graft.Main.parseMipsArgs(Seq.empty) == graft.Main.MipsArgs(None, 10))
+    assert(graft.Main.parseMipsArgs(
+      Seq("--tables=4", "--planes=20", "--bucket-bits=8", "--topk=3")) ==
+      graft.Main.MipsArgs(Some(MipsPlan(4, 20, 8)), 3))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.Main.parseMipsArgs(Seq("--tables=4"))
+    }
+    assert(e1.getMessage.contains("together"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.Main.parseMipsArgs(Seq("--cells=9"))
+    }
+    assert(e2.getMessage.contains("unknown flag"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.Main.parseMipsArgs(Seq("--topk=abc"))
+    }
+    assert(e3.getMessage.contains("invalid value"))
   }
 }

@@ -61,6 +61,86 @@ class MipsIndexSpec extends AnyFunSuite {
     assert(r2.plan == SignAlshRetrieval.planFor(emb.count()))
   }
 
+  test("append ≡ rebuild over the union (frozen plan + maxnorm); ids form; zero-new") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    // the delta must NOT contain the corpus max-norm vector (appending past
+    // the frozen maxnorm is a contract violation — separate test): exclude
+    // the argmax-norm id from the delta slice explicitly
+    val e = emb.select(col("vec_id"),
+      GraftFunctions.quantize(col("embedding")).as("v"))
+    val maxId = e
+      .select(col("vec_id"), call_function("graft_dot", col("v"), col("v")).as("n2"))
+      .orderBy(col("n2").desc, col("vec_id")).first().getLong(0)
+    val deltaIds = (0L to 6L).filterNot(_ == maxId).take(5)
+    val base = emb.where(!col("vec_id").isInCollection(deltaIds))
+    val delta = emb.where(col("vec_id").isInCollection(deltaIds))
+
+    val dirA = tmpDir()
+    MipsIndex.build(spark, base, dirA, Some(plan))
+    val r = MipsIndex.append(spark, delta, dirA)
+    assert(r.newVectors == deltaIds.size && r.incDir.endsWith("inc-1"))
+    assert(r.stages.map(_.name) == Seq("vectors", "bits"))
+    // zero-new: re-delivering the same delta writes nothing
+    val r0 = MipsIndex.append(spark, delta, dirA)
+    assert(r0.newVectors == 0 && r0.droppedExisting == deltaIds.size && r0.incDir.isEmpty)
+
+    // full rebuild over the union under the SAME plan: m2 re-derives to the
+    // same value (the max-norm vector sits in the base), so bits — and
+    // therefore query results — must match exactly. Row order across probes
+    // is not pinned; compare as sets (per-probe ranks ARE pinned inside
+    // the rows).
+    val dirB = tmpDir()
+    MipsIndex.build(spark, emb, dirB, Some(plan))
+    val probe = col("vec_id").isInCollection(deltaIds :+ 7L)
+    val (a, pa) = MipsIndex.topKWithHandle(spark, dirA, probe, k = 10)
+    val fromAppend = try a.collect().map(_.toSeq).toSet
+      finally pa.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    val (b, pb) = MipsIndex.topKWithHandle(spark, dirB, probe, k = 10)
+    val fromRebuild = try b.collect().map(_.toSeq).toSet
+      finally pb.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    assert(fromAppend.nonEmpty && fromAppend == fromRebuild)
+
+    // ids-relation query form (the CLI posture) ≡ the filter form
+    val (c, pc) = MipsIndex.topKWithHandleIds(
+      spark, dirA, (deltaIds :+ 7L).toDF("vec_id"), k = 10)
+    val fromIds = try c.collect().map(_.toSeq).toSet
+      finally pc.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    assert(fromIds == fromAppend)
+  }
+
+  test("append past the frozen maxnorm fails fast; pre-append-era store named") {
+    import spark.implicits._
+    val dir = tmpDir()
+    MipsIndex.build(spark, emb, dir, Some(plan))
+    // a vector far outside the corpus norm range (quantized dot ≫ stored m2)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val big = Seq((9999999L, Array.fill(dim)(10f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      MipsIndex.append(spark, big, dir)
+    }
+    assert(ex.getMessage.contains("maxnorm"))
+    // and no partial inc dir was left behind
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/inc-1")))
+    // a store whose bits manifest lacks the m2 tag (pre-append generation)
+    // is still queryable but refuses append with a rebuild hint
+    val m = TableIO.readManifest(s"$dir/bits").get
+    val src = TableIO.read(spark, s"$dir/bits")
+    val copy = spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+    TableIO.write(copy, s"$dir/bits", "bits", m.configHash, 0L, m.extra - "m2")
+    val (q, pq) = MipsIndex.topKWithHandle(spark, dir, col("vec_id") < 3)
+    try assert(q.count() > 0) finally pq.foreach(_.unpersist(blocking = false))
+    val ex2 = intercept[IllegalStateException] {
+      MipsIndex.append(spark, emb.limit(1), dir)
+    }
+    assert(ex2.getMessage.contains("predates the append feature"))
+    spark.catalog.clearCache()
+  }
+
   test("missing stage and broken hash chain fail fast") {
     val dir = tmpDir()
     val ex = intercept[IllegalStateException] {

@@ -145,6 +145,28 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(out == List(DupPair(1L, 2L, 2)))
   }
 
+  test("a re-crawl with changed text refreshes the stored fingerprint (newest-write-wins)") {
+    // doc 1 sits in state with fp 0; a re-crawl delivers doc 1 with fp 0xFF
+    // (text changed). The redelivery must not duplicate the member, but its
+    // STORED fp must become 0xFF: a later doc 2 with fp 0xFE is 1 bit from
+    // the CURRENT text and 7 bits from the stale one — with first-write-wins
+    // state it would never pair (ADVICE r5).
+    val state = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L), List(0L), 0L)),
+      GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long],
+      hasTimedOut = false)
+    val out1 = NearDupStream.updateBucket(6, 10,
+      Iterator((1L, 0xFFL, 0L)), state, (_, _) => ()).toList
+    assert(out1.isEmpty) // self-comparison never emits
+    assert(state.get.ids == List(1L) && state.get.fps == List(0xFFL))
+    val out2 = NearDupStream.updateBucket(6, 10,
+      Iterator((2L, 0xFEL, 0L)), state, (_, _) => ()).toList
+    assert(out2 == List(DupPair(1L, 2L, 1)),
+      "doc 2 must pair against the re-crawled fp, not the stale one")
+  }
+
   test("event-time deadline never regresses when a straggler arrives after fresher members") {
     // bucket holds a member at T=100s (retention 50s → deadline 150s); a
     // late-but-within-lateness arrival at T=60s used to re-arm from only the
