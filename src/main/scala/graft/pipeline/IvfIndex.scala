@@ -121,11 +121,21 @@ object IvfIndex {
     * relation is small (the CLI counts it first). */
   def probeRerankIds(
       e: DataFrame, cent: DataFrame, cell: DataFrame,
-      probeIds: DataFrame, nprobe: Int, k: Int): (DataFrame, Seq[DataFrame]) =
-    probeRerankVecs(e, cent, cell,
-      e.join(broadcast(probeIds.select(col("vec_id"))), "vec_id")
-        .select(col("vec_id").as("probe_id"), col("v").as("pv")),
-      nprobe, k)
+      probeIds: DataFrame, nprobe: Int, k: Int): (DataFrame, Seq[DataFrame]) = {
+    // emptiness checked on the raw id relation BEFORE the broadcast join is
+    // even planned: probeRerankVecs' own count-guard would evaluate
+    // broadcast(empty ids) to discover the emptiness — materializing the
+    // exact phantom broadcast the short-circuit exists to avoid
+    if (probeIds.limit(1).count() == 0)
+      probeRerankVecs(e, cent, cell,
+        e.select(col("vec_id").as("probe_id"), col("v").as("pv")).limit(0),
+        nprobe, k)
+    else
+      probeRerankVecs(e, cent, cell,
+        e.join(broadcast(probeIds.select(col("vec_id"))), "vec_id")
+          .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+        nprobe, k)
+  }
 
   private def probeRerankVecs(
       e: DataFrame, cent: DataFrame, cell: DataFrame,

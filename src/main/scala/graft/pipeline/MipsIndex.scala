@@ -154,7 +154,11 @@ object MipsIndex {
       spark: SparkSession, baseDir: String, probeIds: DataFrame,
       k: Int = 10): (DataFrame, Seq[DataFrame]) = {
     val (vectors, corpus, p) = openStore(spark, baseDir)
-    val probeVecs = vectors.join(broadcast(probeIds.select(col("vec_id"))), "vec_id")
+    // empty id relation short-circuited BEFORE the broadcast join is planned
+    // (evaluating broadcast(empty) is the phantom-broadcast trap)
+    val probeVecs =
+      if (probeIds.limit(1).count() == 0) vectors.limit(0)
+      else vectors.join(broadcast(probeIds.select(col("vec_id"))), "vec_id")
     val probes = SignAlshRetrieval.probeBits(probeVecs, p, lit(true))
     val (out, pinned) = SignAlshRetrieval.bucketRank(corpus, probes, p, k)
     (out, corpus +: pinned)

@@ -164,7 +164,19 @@ object SignAlshRetrieval {
     * the [[MipsIndex]] store query).
     * @return (result, pinned candidate cache) */
   def bucketRank(
-      corpus: DataFrame, probes: DataFrame, plan: MipsPlan, k: Int): (DataFrame, Seq[DataFrame]) = {
+      corpus: DataFrame, probes0: DataFrame, plan: MipsPlan, k: Int): (DataFrame, Seq[DataFrame]) = {
+    // the probe relation is tiny by contract — cache it (bucket join +
+    // final hamming re-join) and COUNT it first: an empty probe set must
+    // short-circuit BEFORE the probeBuckets broadcast below is built (an
+    // explicit broadcast of an empty long-keyed relation is the documented
+    // ~513 MiB phantom-broadcast trap — round 6, the IvfIndex posture)
+    val probes = probes0.cache()
+    if (probes.count() == 0) {
+      val empty = corpus.select(col("vec_id").as("probe_id"), col("vec_id"),
+        lit(0L).as("rnk"),
+        when(col("vec_id").isNotNull, lit(0L)).as("hamming")).limit(0)
+      return (empty, Seq(probes))
+    }
     val mask = (1L << plan.bucketBits) - 1
     def bucketArr(c: Column): Column =
       array((0 until plan.tables).map(t =>
@@ -211,6 +223,6 @@ object SignAlshRetrieval {
     val out = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("probe_id", "vec_id", "rnk", "hamming")
-    (out, Seq(cands))
+    (out, Seq(probes, cands))
   }
 }

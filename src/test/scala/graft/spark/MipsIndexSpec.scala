@@ -112,6 +112,33 @@ class MipsIndexSpec extends AnyFunSuite {
     assert(fromIds == fromAppend)
   }
 
+  test("empty probe set short-circuits before any broadcast (filter and ids forms)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    MipsIndex.build(spark, emb, dir, Some(plan))
+    val (populated, pp) = MipsIndex.topKWithHandle(spark, dir, col("vec_id") < 3)
+    val popSchema = populated.schema
+    pp.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    // filter form
+    val (e1, p1) = MipsIndex.topKWithHandle(spark, dir, col("vec_id") < 0)
+    try {
+      assert(e1.schema == popSchema, s"${e1.schema} != $popSchema")
+      assert(e1.count() == 0)
+      assert(!e1.queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"))
+    } finally p1.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    // ids-relation form (the CLI posture)
+    val (e2, p2) = MipsIndex.topKWithHandleIds(
+      spark, dir, Seq.empty[Long].toDF("vec_id"))
+    try {
+      assert(e2.schema == popSchema)
+      assert(e2.count() == 0)
+      assert(!e2.queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"))
+    } finally p2.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
   test("append past the frozen maxnorm fails fast; pre-append-era store named") {
     import spark.implicits._
     val dir = tmpDir()
