@@ -261,6 +261,42 @@ object SparkEntry {
         (col("n_copies") >= lit(2L)).as("is_dup"))
   }
 
+  /** CCNet-style paragraph SCRUB — the acting half of [[paragraphDedup]]:
+    * rebuild each document's text with every paragraph that duplicates an
+    * earlier-seen one REMOVED (keep = the globally-first occurrence by
+    * (doc_id, para_idx); within-doc repeats drop too). Returns
+    * (doc_id, n_paras, n_removed, text_clean); docs whose paragraph array
+    * is empty (null text under the block rule) emit no row — callers
+    * left-join if they need them.
+    *
+    * Scale shape: the keep census is the [[paragraphDedup]] groupBy
+    * (map-side partial, shuffle_hash mark join — AQE skew-splittable hot
+    * hashes); reassembly is the one inherently per-doc gather: a groupBy
+    * (doc_id) collect of (para_idx, para) rows — sort-based aggregation
+    * beyond hash-agg limits, bounded per doc by document size, and the
+    * same shuffle CCNet itself pays. The ordered join is
+    * sort_array(collect_list(struct))·getField — native expressions, no
+    * interpreted lambda in the corpus-wide path. */
+  def scrubDupParagraphs(d: DataFrame, paras: Column): DataFrame = {
+    val p = d.select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("para"), md5(col("para")).as("h"))
+    val keep = p.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("kdoc"), col("f.para_idx").as("kidx"))
+      .hint("shuffle_hash")
+    p.join(keep, "h")
+      .withColumn("keep", col("doc_id") === col("kdoc") && col("para_idx") === col("kidx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(!col("keep"), 1)).as("n_removed"),
+        array_join(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("para_idx"), col("para"))))).getField("para"),
+          " ").as("text_clean"))
+  }
+
   /** Production IVF cosine-ANN entry (the q_ivf_ann kernel over any
     * `(vec_id, embedding: Array[Float])` relation) — the coarse-quantizer
     * twin of the LSH-bucketed ANN path. Centroids are a deterministic
@@ -367,6 +403,19 @@ object SparkEntry {
       paragraphDedup(docs(s, dir),
         call_function("graft_word_blocks", col("text"), lit(10)))
         .orderBy("doc_id", "para_idx")
+    }),
+    "q_paragraph_scrub" -> ((s, dir) => {
+      // The acting half of q_paragraph_dedup (CCNet line dedup): rebuild
+      // text with non-first paragraph occurrences removed — see
+      // [[scrubDupParagraphs]]. Keep rule (globally-first by (doc_id,
+      // para_idx)) is a min-struct in Spark ≡ row_number in the oracle;
+      // reconstruction joins kept blocks with ' ', which reproduces the
+      // original text exactly when nothing is removed (blocks partition
+      // the token stream).
+      graft.functions.GraftExpressions.register(s)
+      scrubDupParagraphs(docs(s, dir),
+        call_function("graft_word_blocks", col("text"), lit(10)))
+        .orderBy("doc_id")
     }),
     "q_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals: most-frequent word-2-gram
@@ -865,6 +914,22 @@ object SparkEntry {
           |SELECT doc_id, para_idx, n_copies, (n_copies >= 2) AS is_dup
           |FROM p JOIN c USING (h)
           |ORDER BY doc_id, para_idx""".stripMargin,
+      // keep = first global occurrence (row_number ≡ Spark's min-struct);
+      // docs losing EVERY paragraph (exact dups) need the coalesce('') —
+      // DuckDB string_agg over zero kept rows is NULL, Spark array_join
+      // over an empty array is ''
+      "q_paragraph_scrub" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |p AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx, array_to_string(ws[i*10+1:i*10+10], ' ') AS para
+          |      FROM t, UNNEST(list_transform(range(0, (len(ws)+9)//10), x -> x)) u(i)),
+          |m AS (SELECT doc_id, para_idx, para,
+          |        row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+          |      FROM p)
+          |SELECT doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_paras,
+          |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+          |  coalesce(string_agg(para, ' ' ORDER BY para_idx) FILTER (WHERE rn = 1), '') AS text_clean
+          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // relational recomputation of the fused graft_rep_stats kernel: the
       // row_number tie-break (c DESC, gr ASC) ≡ the kernel's UTF-8-byte-order
       // smallest-gram rule; masses are exact integers, single final division

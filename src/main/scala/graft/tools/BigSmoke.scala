@@ -168,6 +168,34 @@ object BigSmoke {
       (w, n)
     }
 
+    // Paragraph-level dedup at scale (round 6): census groupBy is map-side
+    // partial (a mega-duplicated paragraph contributes one partial row per
+    // task); the mark join back partitions by the paragraph hash, so a
+    // boilerplate block shared by `skewDocs` docs is one hot join key —
+    // which AQE's skew-join splitting handles on the hinted shuffle_hash
+    // join (the window form this op deliberately avoids cannot be split at
+    // all). With skewDocs > 0 the 1%-mutated template leaves ~0.9·skewDocs
+    // EXACT copies of each unmutated 10-word block → a genuine hot hash.
+    val paraWall = {
+      val docsC = spark.read.parquet(docsPath)
+      graft.SparkEntry.paragraphDedup(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        call_function("graft_word_blocks", col("text"), lit(10)))
+        .where(col("is_dup")).count() // JIT warm-up
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val agg = graft.SparkEntry.paragraphDedup(docsC,
+        call_function("graft_word_blocks", col("text"), lit(10)))
+        .agg(count(lit(1)).as("paras"),
+          count(when(col("is_dup"), 1)).as("dups"),
+          max("n_copies").as("hottest")).first()
+      val w = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[bigsmoke] paragraph_dedup $w%6.1f s  (${agg.getLong(0)} paras, " +
+        s"${agg.getLong(1)} dups, hottest hash ${agg.getLong(2)} copies)")
+      (w, agg.getLong(1), agg.getLong(2))
+    }
+
     // skew evidence: census shape on both banding paths
     val cfg = graft.SparkEntry.lshConfig
     val docs = spark.read.parquet(docsPath).select(col("doc_id").as("id"), col("text"))
@@ -190,7 +218,9 @@ object BigSmoke {
       s""""queries":{$qs},"maxBucket":${mhCensus.getLong(0)},""" +
       s""""cappedBuckets":${mhCensus.getLong(1)},""" +
       s""""decontaminate":{"sec":${deconWall._1},"pairs":${deconWall._2}},""" +
-      s""""winnowPairs":{"sec":${winnowWall._1},"pairs":${winnowWall._2}}$skewJson}""")
+      s""""winnowPairs":{"sec":${winnowWall._1},"pairs":${winnowWall._2}},""" +
+      s""""paragraphDedup":{"sec":${paraWall._1},"dupParas":${paraWall._2},""" +
+      s""""hottestCopies":${paraWall._3}}$skewJson}""")
     spark.stop()
   }
 }

@@ -143,6 +143,34 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 0L, 3L, true), (3L, 1L, 3L, true)))
   }
 
+  test("scrubDupParagraphs: keep-first-occurrence, exact reconstruction, all-dropped → ''") {
+    graft.functions.GraftExpressions.register(spark)
+    val d = Seq(
+      (1L, "a b c d x1 x2"), // blocks(2): "a b","c d","x1 x2" — all first
+      (2L, "a b e f"),       // "a b" dup of doc 1 → removed; "e f" kept
+      (3L, "c d c d"),       // both blocks dup doc 1's "c d" → all removed
+      (4L, "q r s t")        // untouched doc reconstructs byte-identically
+    ).toDF("doc_id", "text")
+    val out = SparkEntry.scrubDupParagraphs(d,
+      call_function("graft_word_blocks", col("text"), lit(2)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, "a b c d x1 x2"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 2L, 2L, ""),
+      (4L, 2L, 0L, "q r s t")))
+  }
+
+  test("scrubDupParagraphs removes within-doc repeats after the first") {
+    graft.functions.GraftExpressions.register(spark)
+    val d = Seq((1L, "a b a b c d")).toDF("doc_id", "text")
+    val out = SparkEntry.scrubDupParagraphs(d,
+      call_function("graft_word_blocks", col("text"), lit(2))).collect()
+    assert(out.head.getString(3) == "a b c d")
+    assert(out.head.getLong(2) == 1L)
+  }
+
   test("paragraphDedup plan: census join stays shuffle-hash (no broadcast flip)") {
     graft.functions.GraftExpressions.register(spark)
     val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
