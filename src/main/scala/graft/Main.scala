@@ -19,6 +19,7 @@ import graft.pipeline.{CheckpointedDedup, Decontaminate, DedupConfig, DocIds, In
   *   mips-build    <embeddings.parquet> <storeDir>       # MIPS index build
   *   mips-append   <storeDir> <newEmb.parquet>           # daily vector drop
   *   mips-query    <storeDir> <probes.parquet> <outDir>  # MIPS top-k
+  *   scrub-paragraphs <pages.parquet> <outDir>           # CCNet line dedup
   * }}}
   *
   * Config flags (anywhere on the command line, all optional):
@@ -51,12 +52,15 @@ object Main {
         |  mips-build    <embeddings.parquet> <storeDir>
         |  mips-append   <storeDir> <newEmbeddings.parquet>
         |  mips-query    <storeDir> <probes.parquet> <outDir>
+        |  scrub-paragraphs <pages.parquet> <outDir>
         |dedup flags: --seed=N --shingle-words=N --char-shingles=N
         |       --num-hashes=N --bands=N --threshold=X --max-bucket=N
         |       --salt-window=N
         |ivf flags:  --cells=N (default ceil(sqrt(n))) --nprobe=N --topk=N
         |mips flags: --tables=N --planes=N --bucket-bits=N (all three or
-        |       none — default planFor(n)) --topk=N""".stripMargin)
+        |       none — default planFor(n)) --topk=N
+        |scrub flags: --para-split=<regex> (paragraph rule; default
+        |       --para-words=10 word blocks for newline-free corpora)""".stripMargin)
     sys.exit(2)
   }
 
@@ -161,6 +165,34 @@ object Main {
           "for the planFor(n) default)")
     }
     MipsArgs(plan, num("--topk").getOrElse(10))
+  }
+
+  private[graft] final case class ScrubArgs(paraSplit: Option[String], paraWords: Int)
+
+  /** scrub-paragraphs flags: the paragraph rule. Production corpora with
+    * newline structure pass --para-split (a regex for `split`); the default
+    * 10-word blocks is the deterministic rule for single-line corpora (the
+    * driver's documents shape). Mutually exclusive. */
+  private[graft] def parseScrubArgs(flags: Seq[String]): ScrubArgs = {
+    val known = Seq("--para-split", "--para-words")
+    val kv = flags.map { f =>
+      f.split("=", 2) match {
+        case Array(k, v) if known.contains(k) => k -> v
+        case _ => throw new IllegalArgumentException(s"unknown flag: $f")
+      }
+    }.toMap
+    if (kv.contains("--para-split") && kv.contains("--para-words"))
+      throw new IllegalArgumentException(
+        "--para-split and --para-words are mutually exclusive paragraph rules")
+    val words = kv.get("--para-words").map { v =>
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid value for --para-words: $v")
+      }
+    }.getOrElse(10)
+    if (words < 1)
+      throw new IllegalArgumentException(s"--para-words must be >= 1, got $words")
+    ScrubArgs(kv.get("--para-split"), words)
   }
 
   private def session(): SparkSession =
@@ -337,6 +369,37 @@ object Main {
         pinned.foreach(_.unpersist(blocking = false))
         println(s"[graft] mips-query done: ${spark.read.parquet(outDir).count()} " +
           s"result rows for $nProbes probes → $outDir")
+      case Seq("scrub-paragraphs", pagesPath, outDir) =>
+        val a =
+          try parseScrubArgs(flags)
+          catch { case e: IllegalArgumentException =>
+            System.err.println(e.getMessage); usage()
+          }
+        val spark = session()
+        graft.functions.GraftExpressions.register(spark)
+        // ids assigned the collision-checked way (DocIds), then the CCNet
+        // scrub: text rebuilt with non-first paragraph occurrences removed.
+        // Output keeps the url so the clean text re-joins the page table.
+        val pages = DocIds.assign(spark.read.parquet(pagesPath))
+        val (paras, joiner) = a.paraSplit match {
+          // split-rule paragraphs rejoin with '\n' (the canonical paragraph
+          // separator — the split consumed the original one); word blocks
+          // rejoin with ' ', reconstructing the token stream exactly
+          case Some(re) => (split(col("text"), re, -1), "\n")
+          case None =>
+            (call_function("graft_word_blocks", col("text"), lit(a.paraWords)), " ")
+        }
+        val scrubbed = graft.SparkEntry.scrubDupParagraphs(
+          pages.select(col("id").as("doc_id"), col("text")), paras, joiner)
+        scrubbed
+          .join(pages.select(col("id").as("doc_id"), col("url")).hint("shuffle_hash"),
+            Seq("doc_id"))
+          .select("doc_id", "url", "n_paras", "n_removed", "text_clean")
+          .write.mode("overwrite").parquet(outDir)
+        val stats = spark.read.parquet(outDir)
+          .agg(count(lit(1)), sum("n_paras"), sum("n_removed")).first()
+        println(s"[graft] scrub-paragraphs done: ${stats.getLong(0)} docs, " +
+          s"${stats.get(1)} paragraphs, ${stats.get(2)} removed → $outDir")
       case _ => usage()
     }
   }

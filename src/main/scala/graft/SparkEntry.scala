@@ -277,7 +277,7 @@ object SparkEntry {
     * same shuffle CCNet itself pays. The ordered join is
     * sort_array(collect_list(struct))·getField — native expressions, no
     * interpreted lambda in the corpus-wide path. */
-  def scrubDupParagraphs(d: DataFrame, paras: Column): DataFrame = {
+  def scrubDupParagraphs(d: DataFrame, paras: Column, joinWith: String = " "): DataFrame = {
     val p = d.select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
         col("para"), md5(col("para")).as("h"))
@@ -291,10 +291,13 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_paras"),
         count(when(!col("keep"), 1)).as("n_removed"),
+        // joinWith: the separator the paragraph rule consumed (word blocks
+        // → " " reconstructs the token stream exactly; a newline rule
+        // passes "\n")
         array_join(
           sort_array(collect_list(when(col("keep"),
             struct(col("para_idx"), col("para"))))).getField("para"),
-          " ").as("text_clean"))
+          joinWith).as("text_clean"))
   }
 
   /** Production IVF cosine-ANN entry (the q_ivf_ann kernel over any

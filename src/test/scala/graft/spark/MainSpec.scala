@@ -200,6 +200,48 @@ class MainSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("scrub-paragraphs end-to-end: word-block rule default, split-rule flag") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-main-scrub").toString
+    val pagesPath = s"$root/pages.parquet"
+    // doc B repeats doc A's first 2-word block; doc C is entirely A's blocks
+    Seq(
+      ("http://a", "a b c d"),
+      ("http://b", "a b e f"),
+      ("http://c", "a b c d")
+    ).toDF("url", "text").write.parquet(pagesPath)
+    val outDir = s"$root/clean"
+    graft.Main.main(Array("--para-words=2", "scrub-paragraphs", pagesPath, outDir))
+    val res = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[String]("url") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))).toMap
+    assert(res.size == 3)
+    // keep-first is by doc_id (url-hash derived) — the winner keeps "a b",
+    // exactly one of a/c keeps "c d", and b always loses its "a b"
+    val winners = res.values.count(_._2.contains("a b"))
+    assert(winners == 1, s"exactly one doc keeps the shared block: $res")
+    assert(res("http://b")._2.endsWith("e f"))
+    assert(res.values.map(_._1).sum == 3L, s"3 blocks removed in total: $res")
+    // split-rule flag: newline paragraphs
+    val pages2 = s"$root/pages2.parquet"
+    Seq(("http://x", "p1\np2"), ("http://y", "p1\np3")).toDF("url", "text")
+      .write.parquet(pages2)
+    val out2 = s"$root/clean2"
+    graft.Main.main(Array("--para-split=\n", "scrub-paragraphs", pages2, out2))
+    val res2 = spark.read.parquet(out2).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text_clean")).toMap
+    // split-rule paragraphs rejoin with '\n' (the separator the split ate)
+    assert(Seq(res2("http://x"), res2("http://y")).sorted ==
+      Seq("p1\np2", "p3").sorted || Seq(res2("http://x"), res2("http://y")).sorted ==
+      Seq("p1\np3", "p2").sorted, s"one doc keeps p1: $res2")
+    // conflicting rules rejected
+    val e = intercept[IllegalArgumentException] {
+      graft.Main.parseScrubArgs(Seq("--para-split=x", "--para-words=3"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+    spark.catalog.clearCache()
+  }
+
   test("parseMipsArgs: plan knobs all-or-none; unknown flags named") {
     import graft.pipeline.SignAlshRetrieval.MipsPlan
     assert(graft.Main.parseMipsArgs(Seq.empty) == graft.Main.MipsArgs(None, 10))
