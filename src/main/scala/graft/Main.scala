@@ -328,6 +328,14 @@ object Main {
         println(s"[graft] ivf-query done: ${spark.read.parquet(outDir).count()} " +
           s"result rows for $nProbes probes → $outDir")
       case Seq("ivf-append", storeDir, newEmbPath) =>
+        // appends take NO flags: the store's frozen geometry IS the config.
+        // Silently ignoring e.g. --cells here would let a user believe they
+        // changed the plan (round-6 review) — reject like every other arm.
+        if (flags.nonEmpty) {
+          System.err.println(s"ivf-append takes no flags (the store's frozen " +
+            s"geometry is the config); got: ${flags.mkString(" ")}")
+          usage()
+        }
         val spark = session()
         val r = graft.pipeline.IvfIndex.append(
           spark, spark.read.parquet(newEmbPath), storeDir)
@@ -349,6 +357,11 @@ object Main {
           s"T=${report.plan.tables}/P=${report.plan.planesPerTable}/" +
           s"b=${report.plan.bucketBits}, index at $storeDir")
       case Seq("mips-append", storeDir, newEmbPath) =>
+        if (flags.nonEmpty) {
+          System.err.println(s"mips-append takes no flags (the store's frozen " +
+            s"plan/maxnorm are the config); got: ${flags.mkString(" ")}")
+          usage()
+        }
         val spark = session()
         val r = graft.pipeline.MipsIndex.append(
           spark, spark.read.parquet(newEmbPath), storeDir)
@@ -391,10 +404,17 @@ object Main {
         }
         val scrubbed = graft.SparkEntry.scrubDupParagraphs(
           pages.select(col("id").as("doc_id"), col("text")), paras, joiner)
-        scrubbed
-          .join(pages.select(col("id").as("doc_id"), col("url")).hint("shuffle_hash"),
-            Seq("doc_id"))
-          .select("doc_id", "url", "n_paras", "n_removed", "text_clean")
+        // LEFT join from pages: a null-text page yields no paragraph rows,
+        // so an inner join would silently drop it from the cleaned corpus —
+        // a scrub tool must never shrink the doc set (round-6 review). Such
+        // pages come through with zero counts and NULL text_clean (there was
+        // no text to clean — distinct from '' = everything removed).
+        pages.select(col("id").as("doc_id"), col("url"))
+          .join(scrubbed.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("url"),
+            coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            col("text_clean"))
           .write.mode("overwrite").parquet(outDir)
         val stats = spark.read.parquet(outDir)
           .agg(count(lit(1)), sum("n_paras"), sum("n_removed")).first()

@@ -252,7 +252,13 @@ object SparkEntry {
     * duplicated paragraph, drop the rest (is_dup marks ALL copies; n_copies
     * lets the caller pick any keep rule without re-running the census). */
   def paragraphDedup(d: DataFrame, paras: Column): DataFrame = {
+    // null ELEMENTS in a caller-supplied paragraph array are EXCLUDED here,
+    // explicitly: md5(NULL) is NULL and the census equi-join would silently
+    // swallow them anyway (the q_exact_dedup md5(NULL) trap, VERDICT r4 #3)
+    // — an explicit filter makes the contract visible instead of an
+    // accident of join semantics. graft_word_blocks never emits nulls.
     val p = d.select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .where(col("para").isNotNull)
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
         md5(col("para")).as("h"))
     val c = p.groupBy("h").agg(count(lit(1)).as("n_copies")).hint("shuffle_hash")
@@ -278,7 +284,11 @@ object SparkEntry {
     * sort_array(collect_list(struct))·getField — native expressions, no
     * interpreted lambda in the corpus-wide path. */
   def scrubDupParagraphs(d: DataFrame, paras: Column, joinWith: String = " "): DataFrame = {
+    // null array elements excluded explicitly (same contract + rationale as
+    // [[paragraphDedup]]): they would otherwise vanish via the md5(NULL)
+    // equi-join while still having burned a para_idx
     val p = d.select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .where(col("para").isNotNull)
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
         col("para"), md5(col("para")).as("h"))
     val keep = p.groupBy("h")

@@ -96,7 +96,11 @@ object Multimodal {
       var off = 12 // past RIFF<size>WAVE
       while (off + 8 <= bytes.length) {
         val size = le32(bytes, off + 4)
-        if (size < 0 || off + 8 + size > bytes.length) return None
+        // bounds math in LONG: a declared size near Int.MaxValue makes
+        // `off + 8 + size` wrap negative in Int, slipping past this guard
+        // into a wild read (round-6 review) — exactly the crash the
+        // malformed-row contract forbids
+        if (size < 0 || off.toLong + 8L + size.toLong > bytes.length) return None
         if (ascii(bytes, off, id)) return Some((off + 8, size))
         off += 8 + size + (size & 1)
       }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TableIO
 
 /** Append-only inc-k snapshot directories for the RETRIEVAL stores
@@ -65,6 +66,64 @@ private[pipeline] object IncDirs {
     try Files.move(Paths.get(tmp), Paths.get(finalDir))
     catch { case _: java.nio.file.FileAlreadyExistsException => lostRace() }
     finalDir
+  }
+
+  /** Shared append orchestration for the two-stage retrieval stores
+    * ([[IvfIndex.append]]/[[MipsIndex.append]] both delegate here — the
+    * round-6 review found the scaffold copy-pasted, a third drift-prone
+    * shape next to IncrementalDedup's):
+    *
+    *  - quantize + cache the input ONCE; its count gives `dropped` without
+    *    a second scan of the raw input relation;
+    *  - `dropDuplicates(vec_id)` WITHIN the batch (an upstream retry can
+    *    duplicate a row inside one drop — the anti-join only guards
+    *    against ids already stored; an intra-batch dupe would commit two
+    *    vectors under one key, the exact condition the id guard exists
+    *    for; arbitrary-copy pick, the IncrementalDedup pages posture),
+    *    then anti-join the stored id set (skinny, shuffle_hash);
+    *  - `validate` hook over the genuinely-new rows (MIPS maxnorm check)
+    *    runs BEFORE anything is written;
+    *  - commit `inc-k/{vectors,<secondStage>}` via [[commit]]. Hash chain:
+    *    `<saltPrefix>_vectors` folds k + the new rows' fingerprint off
+    *    `baseChain`; the second stage chains off that with `secondSalt`.
+    *    The vectors manifest records `base` = baseChain so readers detect
+    *    a base rebuilt under other config. */
+  def appendStages(
+      spark: SparkSession, newEmb: DataFrame, baseDir: String, what: String,
+      existingVectorDirs: Seq[String], incs: Seq[(Int, String)],
+      baseChain: String, saltPrefix: String,
+      secondStage: String, secondSalt: String,
+      validate: DataFrame => Unit,
+      computeSecond: DataFrame => DataFrame):
+      (String, Long, Long, Seq[CheckpointedDedup.StageResult]) = {
+    val q = IvfIndex.quantized(newEmb).cache()
+    try {
+      val nInput = q.count()
+      val existingIds = existingVectorDirs
+        .map(d => TableIO.read(spark, d).select("vec_id"))
+        .reduce(_ unionByName _)
+      val newVecs = q.dropDuplicates("vec_id")
+        .join(existingIds.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+        .cache()
+      try {
+        val nNew = newVecs.count()
+        val dropped = nInput - nNew
+        if (nNew == 0) return ("", 0L, dropped, Seq.empty)
+        validate(newVecs)
+        val k = incs.map(_._1).maxOption.getOrElse(0) + 1
+        val hv = CheckpointedDedup.chainHash(baseChain, s"${saltPrefix}_vectors",
+          s"$k:v1:${StageRunner.inputFingerprint(newVecs, "vec_id", "v")}")
+        val h2 = CheckpointedDedup.chainHash(hv, s"${saltPrefix}_$secondStage", secondSalt)
+        var stages: Seq[CheckpointedDedup.StageResult] = Seq.empty
+        val incDir = commit(baseDir, k, what) { tmp =>
+          val runner = new StageRunner(spark, tmp)
+          val vStage = runner.stage("vectors", hv, Map("base" -> baseChain)) { newVecs }
+          runner.stage(secondStage, h2) { computeSecond(vStage.df) }
+          stages = runner.stages.toSeq
+        }
+        (incDir, nNew, dropped, stages)
+      } finally newVecs.unpersist(blocking = false)
+    } finally q.unpersist(blocking = false)
   }
 
   /** WARN about stale inc-*.tmp-* staging dirs (crashed appends) — never

@@ -131,8 +131,14 @@ object IvfIndex {
         e.select(col("vec_id").as("probe_id"), col("v").as("pv")).limit(0),
         nprobe, k)
     else
+      // distinct: a duplicated id in the probe parquet (upstream retry)
+      // would otherwise duplicate the probe row through the inner join —
+      // the cell-ranking window then ranks the SAME cell at prk 1 AND 2,
+      // silently halving nprobe, and the output repeats (probe_id, vec_id)
+      // rows (round-6 review; the replaced In-list form was a filter, for
+      // which duplicates were harmless)
       probeRerankVecs(e, cent, cell,
-        e.join(broadcast(probeIds.select(col("vec_id"))), "vec_id")
+        e.join(broadcast(probeIds.select(col("vec_id")).distinct()), "vec_id")
           .select(col("vec_id").as("probe_id"), col("v").as("pv")),
         nprobe, k)
   }
@@ -290,31 +296,15 @@ object IvfIndex {
     IncDirs.warnStray(baseDir)
     val (baseManifests, nCells, incs) = validateStore(baseDir)
     val baseChain = chain(baseManifests("vectors").configHash, nCells)("assignment")
-    val existingIds =
-      (Seq(s"$baseDir/vectors") ++ incs.map { case (_, d) => s"$d/vectors" })
-        .map(d => TableIO.read(spark, d).select("vec_id"))
-        .reduce(_ unionByName _)
-    val newVecs = quantized(newEmb)
-      .join(existingIds.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
-      .cache()
-    try {
-      val nNew = newVecs.count()
-      val nDropped = newEmb.count() - nNew
-      if (nNew == 0) return AppendReport("", 0L, nDropped, Seq.empty)
-      val cent = TableIO.read(spark, s"$baseDir/centroids")
-      val k = incs.map(_._1).maxOption.getOrElse(0) + 1
-      val hv = CheckpointedDedup.chainHash(baseChain, "ivf_append_vectors",
-        s"$k:v1:${StageRunner.inputFingerprint(newVecs, "vec_id", "v")}")
-      val ha = CheckpointedDedup.chainHash(hv, "ivf_append_assignment", "argmax")
-      var stages: Seq[CheckpointedDedup.StageResult] = Seq.empty
-      val incDir = IncDirs.commit(baseDir, k, "IVF store") { tmp =>
-        val runner = new StageRunner(spark, tmp)
-        val vStage = runner.stage("vectors", hv, Map("base" -> baseChain)) { newVecs }
-        runner.stage("assignment", ha) { assignment(vStage.df, cent, nCells) }
-        stages = runner.stages.toSeq
-      }
-      AppendReport(incDir, nNew, nDropped, stages)
-    } finally newVecs.unpersist(blocking = false)
+    val cent = TableIO.read(spark, s"$baseDir/centroids")
+    val (incDir, nNew, nDropped, stages) = IncDirs.appendStages(
+      spark, newEmb, baseDir, "IVF store",
+      existingVectorDirs = s"$baseDir/vectors" +: incs.map { case (_, d) => s"$d/vectors" },
+      incs = incs, baseChain = baseChain, saltPrefix = "ivf_append",
+      secondStage = "assignment", secondSalt = "argmax",
+      validate = _ => (),
+      computeSecond = newVecs => assignment(newVecs, cent, nCells))
+    AppendReport(incDir, nNew, nDropped, stages)
   }
 
   /** Base-store manifest validation shared by [[openStore]] and [[append]]:

@@ -66,6 +66,17 @@ object MipsIndex {
     lazy val m2 = vectorsStage.df
       .agg(coalesce(max(call_function("graft_dot", col("v"), col("v"))), lit(0L)))
       .first().getLong(0)
+    // LEGACY UPGRADE: a store built before the m2 tag resumes here (the
+    // bits hash doesn't cover manifest extras), so "re-run build" would be
+    // a no-op and append would fail forever with the rebuild hint (round-6
+    // review). Detect the m2-less manifest and force the stage to
+    // recompute — manifest deleted FIRST, the crash-safe rewrite protocol.
+    val bitsDir = s"$baseDir/bits"
+    if (TableIO.isComplete(bitsDir, bitsHash(h0, p)) &&
+        !TableIO.readManifest(bitsDir).exists(_.extra.contains("m2"))) {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(bitsDir, "_manifest.json"))
+    }
     runner.stage("bits", bitsHash(h0, p), Map(
       "tables" -> p.tables.toString,
       "planesPerTable" -> p.planesPerTable.toString,
@@ -96,43 +107,26 @@ object MipsIndex {
     val (manifests, p, m2Opt, incs) = validateStore(baseDir)
     val m2 = m2Opt.getOrElse(throw new IllegalStateException(
       s"MIPS store at $baseDir predates the append feature (bits manifest " +
-        s"lacks the m2 tag) — re-run MipsIndex.build once to enable appends"))
+        s"lacks the m2 tag) — re-run MipsIndex.build once to enable appends " +
+        s"(build detects the legacy manifest and refreshes the bits stage)"))
     val baseChain = bitsHash(manifests("vectors").configHash, p)
-    val existingIds =
-      (Seq(s"$baseDir/vectors") ++ incs.map { case (_, d) => s"$d/vectors" })
-        .map(d => TableIO.read(spark, d).select("vec_id"))
-        .reduce(_ unionByName _)
-    val newVecs = IvfIndex.quantized(newEmb)
-      .join(existingIds.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
-      .cache()
-    try {
-      val r = newVecs
-        .agg(count(lit(1)).as("n"),
-          coalesce(max(call_function("graft_dot", col("v"), col("v"))), lit(0L)).as("mx"))
-        .first()
-      val nNew = r.getLong(0)
-      val nDropped = newEmb.count() - nNew
-      if (nNew == 0) return AppendReport("", 0L, nDropped, Seq.empty)
-      require(r.getLong(1) <= m2,
-        s"MIPS store at $baseDir: an appended vector has ‖v‖² = ${r.getLong(1)} " +
-          s"> the store's frozen maxnorm M2 = $m2 — SignALSH bits for it would " +
-          s"be out of contract; rebuild the store (MipsIndex.build) to re-fit " +
-          s"the maxnorm")
-      val k = incs.map(_._1).maxOption.getOrElse(0) + 1
-      val hv = CheckpointedDedup.chainHash(baseChain, "mips_append_vectors",
-        s"$k:v1:${StageRunner.inputFingerprint(newVecs, "vec_id", "v")}")
-      val hb = CheckpointedDedup.chainHash(hv, "mips_append_bits", planSalt(p))
-      var stages: Seq[CheckpointedDedup.StageResult] = Seq.empty
-      val incDir = IncDirs.commit(baseDir, k, "MIPS store") { tmp =>
-        val runner = new StageRunner(spark, tmp)
-        val vStage = runner.stage("vectors", hv, Map("base" -> baseChain)) { newVecs }
-        runner.stage("bits", hb) {
-          SignAlshRetrieval.corpusBitsWithM2(vStage.df, p, m2)
-        }
-        stages = runner.stages.toSeq
-      }
-      AppendReport(incDir, nNew, nDropped, stages)
-    } finally newVecs.unpersist(blocking = false)
+    val (incDir, nNew, nDropped, stages) = IncDirs.appendStages(
+      spark, newEmb, baseDir, "MIPS store",
+      existingVectorDirs = s"$baseDir/vectors" +: incs.map { case (_, d) => s"$d/vectors" },
+      incs = incs, baseChain = baseChain, saltPrefix = "mips_append",
+      secondStage = "bits", secondSalt = planSalt(p),
+      validate = { newVecs =>
+        val mx = newVecs
+          .agg(coalesce(max(call_function("graft_dot", col("v"), col("v"))), lit(0L)))
+          .first().getLong(0)
+        require(mx <= m2,
+          s"MIPS store at $baseDir: an appended vector has ‖v‖² = $mx > the " +
+            s"store's frozen maxnorm M2 = $m2 — SignALSH bits for it would be " +
+            s"out of contract; rebuild the store (MipsIndex.build) to re-fit " +
+            s"the maxnorm")
+      },
+      computeSecond = newVecs => SignAlshRetrieval.corpusBitsWithM2(newVecs, p, m2))
+    AppendReport(incDir, nNew, nDropped, stages)
   }
 
   /** Top-k MIPS for every stored vector matching probeFilter — from the
@@ -156,9 +150,12 @@ object MipsIndex {
     val (vectors, corpus, p) = openStore(spark, baseDir)
     // empty id relation short-circuited BEFORE the broadcast join is planned
     // (evaluating broadcast(empty) is the phantom-broadcast trap)
+    // distinct: a duplicated probe id would ride the inner join into
+    // duplicate probe rows — duplicate bucket probes and repeated result
+    // rows burning rnk ≤ k slots (round-6 review, the IvfIndex rationale)
     val probeVecs =
       if (probeIds.limit(1).count() == 0) vectors.limit(0)
-      else vectors.join(broadcast(probeIds.select(col("vec_id"))), "vec_id")
+      else vectors.join(broadcast(probeIds.select(col("vec_id")).distinct()), "vec_id")
     val probes = SignAlshRetrieval.probeBits(probeVecs, p, lit(true))
     val (out, pinned) = SignAlshRetrieval.bucketRank(corpus, probes, p, k)
     (out, corpus +: pinned)

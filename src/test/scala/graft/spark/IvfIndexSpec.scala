@@ -131,6 +131,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(fromStore.map(_.head).toSet.exists(id => id.asInstanceOf[Long] % 5 == 0))
   }
 
+  test("duplicate probe ids do not duplicate results or burn nprobe slots") {
+    val dir = tmpDir()
+    IvfIndex.build(spark, emb, dir, nCells = 23)
+    import spark.implicits._
+    val clean = Seq(0L, 1L, 2L).toDF("vec_id")
+    val dup = Seq(0L, 0L, 1L, 2L, 2L, 2L).toDF("vec_id")
+    val (a, pa) = IvfIndex.topKWithHandleIds(spark, dir, clean)
+    val want = try collect(a) finally pa.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    val (b, pb) = IvfIndex.topKWithHandleIds(spark, dir, dup)
+    val got = try collect(b) finally pb.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    assert(got == want, "dup probe ids must behave as a set (the filter-form semantics)")
+  }
+
+  test("intra-batch duplicate vec_ids are dropped at append, not committed twice") {
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val dir = tmpDir()
+    IvfIndex.build(spark, base, dir, nCells = 23)
+    // the same drop unioned with itself: every id appears twice IN the batch
+    val r = IvfIndex.append(spark, delta.unionByName(delta), dir)
+    assert(r.newVectors == delta.count(), "one copy per id committed")
+    assert(r.droppedExisting == delta.count(), "the intra-batch copies counted as dropped")
+    val stored = TableIO.read(spark, s"$dir/inc-1/vectors")
+    assert(stored.count() == stored.select("vec_id").distinct().count())
+  }
+
   test("append validation: partial inc, gap, and base-rebuilt-under-other-config fail fast") {
     val base = emb.where(col("vec_id") % 5 =!= 0)
     val delta = emb.where(col("vec_id") % 5 === 0)

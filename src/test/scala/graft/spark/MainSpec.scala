@@ -204,21 +204,25 @@ class MainSpec extends AnyFunSuite {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-main-scrub").toString
     val pagesPath = s"$root/pages.parquet"
-    // doc B repeats doc A's first 2-word block; doc C is entirely A's blocks
+    // doc B repeats doc A's first 2-word block; doc C is entirely A's
+    // blocks; the null-text page must SURVIVE the scrub (zero counts,
+    // NULL text_clean — an inner join would silently shrink the corpus)
     Seq(
       ("http://a", "a b c d"),
       ("http://b", "a b e f"),
-      ("http://c", "a b c d")
+      ("http://c", "a b c d"),
+      ("http://n", null.asInstanceOf[String])
     ).toDF("url", "text").write.parquet(pagesPath)
     val outDir = s"$root/clean"
     graft.Main.main(Array("--para-words=2", "scrub-paragraphs", pagesPath, outDir))
     val res = spark.read.parquet(outDir).collect()
       .map(r => r.getAs[String]("url") ->
         (r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))).toMap
-    assert(res.size == 3)
+    assert(res.size == 4)
+    assert(res("http://n") == ((0L, null)), "null-text page retained with zero counts")
     // keep-first is by doc_id (url-hash derived) — the winner keeps "a b",
     // exactly one of a/c keeps "c d", and b always loses its "a b"
-    val winners = res.values.count(_._2.contains("a b"))
+    val winners = res.values.count(v => Option(v._2).exists(_.contains("a b")))
     assert(winners == 1, s"exactly one doc keeps the shared block: $res")
     assert(res("http://b")._2.endsWith("e f"))
     assert(res.values.map(_._1).sum == 3L, s"3 blocks removed in total: $res")

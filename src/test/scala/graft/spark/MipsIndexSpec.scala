@@ -165,6 +165,18 @@ class MipsIndexSpec extends AnyFunSuite {
       MipsIndex.append(spark, emb.limit(1), dir)
     }
     assert(ex2.getMessage.contains("predates the append feature"))
+    // the advertised remediation must actually WORK: re-running build on
+    // the legacy store detects the m2-less manifest, refreshes the bits
+    // stage (the vectors stage resumes), and append then succeeds
+    // (round-6 review: the stage hash doesn't cover extras, so without the
+    // legacy check build would resume bits and the advice was a no-op)
+    val r = MipsIndex.build(spark, emb, dir, Some(plan))
+    assert(r.recomputedStages == Seq("bits"))
+    assert(TableIO.readManifest(s"$dir/bits").get.extra.contains("m2"))
+    val fresh = emb.where(col("vec_id") === 1L)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val ra = MipsIndex.append(spark, fresh, dir)
+    assert(ra.newVectors == 1L)
     spark.catalog.clearCache()
   }
 

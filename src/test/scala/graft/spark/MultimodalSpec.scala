@@ -256,6 +256,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("a declared chunk size near Int.MaxValue is rejected, not a wild read") {
+    import spark.implicits._
+    // size 0x7FFFFFF0: `size < 0` is false and an Int-space bounds check
+    // (off + 8 + size) wraps NEGATIVE, slipping past the guard into an
+    // ArrayIndexOutOfBounds crash of the whole batch (round-6 review) —
+    // the bounds math must run in Long
+    val evil = new Array[Byte](64)
+    "RIFF".zipWithIndex.foreach { case (c, i) => evil(i) = c.toByte }
+    "WAVE".zipWithIndex.foreach { case (c, i) => evil(8 + i) = c.toByte }
+    "data".zipWithIndex.foreach { case (c, i) => evil(12 + i) = c.toByte }
+    evil(16) = 0xF0.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0x7F.toByte // le32 = 0x7FFFFFF0
+    assert(Multimodal.Headers.parse(evil).isEmpty)
+    val got = Multimodal.sampleWavFrames(
+      Seq(Multimodal.MediaRow(1L, "audio", evil)).toDS(), every = 1).collect()
+    assert(got.isEmpty, "malformed row must yield no frames, not crash")
+  }
+
   test("sampleWavFrames skips non-wav, truncated, and malformed rows silently") {
     import spark.implicits._
     val wav = Multimodal.SyntheticMedia.bytes(5L, "t")
