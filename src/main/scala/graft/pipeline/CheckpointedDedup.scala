@@ -122,9 +122,13 @@ object CheckpointedDedup {
     var censusCache: DataFrame = null
     val censusStage = stage("census", hc, censusStats) {
       censusCache = Dedup.bucketCensus(bandsStage.df).cache()
+      // count/coalesce, not bare sum/max: over an EMPTY corpus (supported
+      // input — the docs-stage fingerprint coalesces for it) a zero-row
+      // census returns NULL aggregates and getLong would NPE mid-run
+      // (round-6 review)
       val stats = censusCache.agg(
-        sum(when(col("bucket_size") > cfg.maxBucket, 1L).otherwise(0L)).as("capped"),
-        max(col("bucket_size")).as("maxB")).first()
+        count(when(col("bucket_size") > cfg.maxBucket, 1)).as("capped"),
+        coalesce(max(col("bucket_size")), lit(0L)).as("maxB")).first()
       censusStats = Map(
         "cappedBuckets" -> stats.getLong(0).toString,
         "maxBucketSize" -> stats.getLong(1).toString,

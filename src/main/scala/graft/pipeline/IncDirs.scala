@@ -28,9 +28,14 @@ private[pipeline] object IncDirs {
       if (!Files.exists(base)) Seq.empty
       else {
         val it = Files.list(base)
+        // ≤ 9 digits: the engine numbers appends 1,2,3…, so a 10+-digit
+        // suffix (a timestamp-suffixed stray like inc-9999999999) is never
+        // engine-written — and .toInt on it would throw, bricking every
+        // store read on a dir the strict regex was meant to ignore
+        // (round-6 review). Treated as a stray like any other name.
         try it.iterator().asScala.toSeq
           .map(_.getFileName.toString)
-          .collect { case n @ strict(k) => (k.toInt, s"$baseDir/$n") }
+          .collect { case n @ strict(k) if k.length <= 9 => (k.toInt, s"$baseDir/$n") }
           .sortBy(_._1)
         finally it.close()
       }
@@ -81,8 +86,11 @@ private[pipeline] object IncDirs {
     *    vectors under one key, the exact condition the id guard exists
     *    for; arbitrary-copy pick, the IncrementalDedup pages posture),
     *    then anti-join the stored id set (skinny, shuffle_hash);
-    *  - `validate` hook over the genuinely-new rows (MIPS maxnorm check)
-    *    runs BEFORE anything is written;
+    *  - `extraStat` (an aggregate Column over the new rows, e.g. MIPS'
+    *    max ‖v‖²) is FUSED into the same count job and handed to
+    *    `validate`, which runs BEFORE anything is written — a separate
+    *    validation agg would be one more Spark job on this VM's
+    *    per-job-constant path (round-6 review);
     *  - commit `inc-k/{vectors,<secondStage>}` via [[commit]]. Hash chain:
     *    `<saltPrefix>_vectors` folds k + the new rows' fingerprint off
     *    `baseChain`; the second stage chains off that with `secondSalt`.
@@ -93,9 +101,11 @@ private[pipeline] object IncDirs {
       existingVectorDirs: Seq[String], incs: Seq[(Int, String)],
       baseChain: String, saltPrefix: String,
       secondStage: String, secondSalt: String,
-      validate: DataFrame => Unit,
+      extraStat: Option[org.apache.spark.sql.Column] = None,
+      validate: Long => Unit = _ => (),
       computeSecond: DataFrame => DataFrame):
       (String, Long, Long, Seq[CheckpointedDedup.StageResult]) = {
+    import org.apache.spark.sql.functions.{count, lit}
     val q = IvfIndex.quantized(newEmb).cache()
     try {
       val nInput = q.count()
@@ -106,10 +116,12 @@ private[pipeline] object IncDirs {
         .join(existingIds.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
         .cache()
       try {
-        val nNew = newVecs.count()
+        val r = newVecs
+          .agg(count(lit(1)).as("n"), extraStat.getOrElse(lit(0L)).as("s")).first()
+        val nNew = r.getLong(0)
         val dropped = nInput - nNew
         if (nNew == 0) return ("", 0L, dropped, Seq.empty)
-        validate(newVecs)
+        validate(r.getLong(1))
         val k = incs.map(_._1).maxOption.getOrElse(0) + 1
         val hv = CheckpointedDedup.chainHash(baseChain, s"${saltPrefix}_vectors",
           s"$k:v1:${StageRunner.inputFingerprint(newVecs, "vec_id", "v")}")

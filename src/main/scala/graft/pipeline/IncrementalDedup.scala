@@ -94,9 +94,12 @@ object IncrementalDedup {
       if (!Files.exists(base)) Seq.empty
       else {
         val it = Files.list(base)
+        // ≤ 9 digits: a 10+-digit suffix (timestamp-suffixed stray) is
+        // never engine-written and .toInt on it would throw, bricking
+        // every store read (round-6 review; same guard in IncDirs)
         try it.iterator().asScala.toSeq
           .map(_.getFileName.toString)
-          .collect { case n @ strict(k) => (k.toInt, s"$baseDir/$n") }
+          .collect { case n @ strict(k) if k.length <= 9 => (k.toInt, s"$baseDir/$n") }
           .sortBy(_._1)
         finally it.close()
       }
@@ -225,20 +228,10 @@ object IncrementalDedup {
 
     // abandoned staging dirs from crashed runs (each retry gets a fresh
     // nonce, so they accumulate — the documented disk-exhaustion mode).
-    // WARN rather than delete: a *.tmp-* dir may belong to a LIVE
-    // concurrent writer, and deleting it would corrupt that run.
-    locally {
-      val it = Files.list(Paths.get(baseDir))
-      val stale =
-        try it.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("inc-\\d+\\.tmp-.*")).toSeq
-        finally it.close()
-      if (stale.nonEmpty)
-        System.err.println(s"[inc] WARNING: ${stale.size} staging dir(s) under " +
-          s"$baseDir (${stale.mkString(", ")}) — leftovers of crashed increment " +
-          s"runs unless a concurrent increment is running RIGHT NOW; delete " +
-          s"them to reclaim space (they are invisible to readers)")
-    }
+    // One shared implementation with the retrieval stores (round-6 review:
+    // this block was a verbatim copy; only the COMMIT stays store-local
+    // because it interleaves with the pair/cluster union writes).
+    IncDirs.warnStray(baseDir)
 
     // the store was fully validated above (validateStore walked every
     // increment's manifests); these pre-validated readers skip the
@@ -283,12 +276,11 @@ object IncrementalDedup {
     // do this (a 100 TB corpus cannot cache; its fingerprint pass stays a
     // cheap columnar scan).
     val newPagesC = newPages.cache()
-    // input fingerprint of the increment (same derivation as the base run's)
-    val fp = newPagesC
-      .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(expr("bit_xor(xxhash64(url, text))"), lit(0L)).as("x"))
-      .first()
-    val salt = s"inc$k:${fp.getLong(0)}:${fp.getLong(1)}"
+    // input fingerprint of the increment — the ONE shared derivation
+    // (StageRunner.inputFingerprint, identical string to the hand-rolled
+    // agg this replaced; round-6 review: a second copy of the
+    // invalidation-critical formula could silently fork the salts)
+    val salt = s"inc$k:${StageRunner.inputFingerprint(newPagesC, "url", "text")}"
 
     // 1. fresh docs only (byte-identical-text-per-url contract: a re-crawled
     // url is the SAME document — dropped here, like dropDuplicates within a

@@ -302,7 +302,6 @@ object IvfIndex {
       existingVectorDirs = s"$baseDir/vectors" +: incs.map { case (_, d) => s"$d/vectors" },
       incs = incs, baseChain = baseChain, saltPrefix = "ivf_append",
       secondStage = "assignment", secondSalt = "argmax",
-      validate = _ => (),
       computeSecond = newVecs => assignment(newVecs, cent, nCells))
     AppendReport(incDir, nNew, nDropped, stages)
   }

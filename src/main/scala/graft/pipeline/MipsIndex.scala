@@ -115,16 +115,13 @@ object MipsIndex {
       existingVectorDirs = s"$baseDir/vectors" +: incs.map { case (_, d) => s"$d/vectors" },
       incs = incs, baseChain = baseChain, saltPrefix = "mips_append",
       secondStage = "bits", secondSalt = planSalt(p),
-      validate = { newVecs =>
-        val mx = newVecs
-          .agg(coalesce(max(call_function("graft_dot", col("v"), col("v"))), lit(0L)))
-          .first().getLong(0)
-        require(mx <= m2,
-          s"MIPS store at $baseDir: an appended vector has ‖v‖² = $mx > the " +
-            s"store's frozen maxnorm M2 = $m2 — SignALSH bits for it would be " +
-            s"out of contract; rebuild the store (MipsIndex.build) to re-fit " +
-            s"the maxnorm")
-      },
+      // maxnorm check FUSED into the core's count agg (one job)
+      extraStat = Some(coalesce(max(call_function("graft_dot", col("v"), col("v"))), lit(0L))),
+      validate = mx => require(mx <= m2,
+        s"MIPS store at $baseDir: an appended vector has ‖v‖² = $mx > the " +
+          s"store's frozen maxnorm M2 = $m2 — SignALSH bits for it would be " +
+          s"out of contract; rebuild the store (MipsIndex.build) to re-fit " +
+          s"the maxnorm"),
       computeSecond = newVecs => SignAlshRetrieval.corpusBitsWithM2(newVecs, p, m2))
     AppendReport(incDir, nNew, nDropped, stages)
   }

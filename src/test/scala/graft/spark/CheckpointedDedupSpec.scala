@@ -27,6 +27,28 @@ class CheckpointedDedupSpec extends AnyFunSuite {
   private def collectClusters(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("an EMPTY corpus runs to completion with zero pairs/clusters, not an NPE") {
+    // supported input (the docs-stage fingerprint coalesces for it): the
+    // census skew-stats agg over a zero-row census returns NULL sum/max and
+    // the old bare getLong NPE'd mid-run, leaving a half-written store
+    // (round-6 review)
+    import spark.implicits._
+    val dir = freshDir()
+    try {
+      val empty = Seq.empty[(String, String)].toDF("url", "text")
+      val rep = CheckpointedDedup.run(spark, empty, cfg, dir)
+      assert(rep.docs == 0L)
+      assert(rep.verifiedPairs.count() == 0L)
+      assert(rep.clusters.count() == 0L)
+      // every stage committed (manifest present) — a resume finds a
+      // complete store, not a crash scar
+      Seq("docs", "shingles", "signatures", "bands", "census",
+        "candidates", "verified_pairs", "clusters").foreach { s =>
+        assert(TableIO.readManifest(s"$dir/$s").isDefined, s"stage $s missing")
+      }
+    } finally rmrf(dir)
+  }
+
   test("full run, then resume recomputes nothing and returns identical tables") {
     val base = freshDir()
     val pages = PagesGen.pages(spark, 120, 0L, 4)

@@ -308,6 +308,9 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // a manual backup with an inc- prefix must not brick the base dir
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-1.bak"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-notanum"))
+    // 10+ digits matches the strict regex but overflows Int — must be
+    // treated as a stray, not a NumberFormatException (round-6 review)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-9999999999"))
     val rep = IncrementalDedup.run(spark, all.where(col("id") >= 30).drop("id"), cfg, dir)
     assert(rep.incDir.endsWith("inc-1"))
     assert(IncrementalDedup.readAll(spark, dir, "docs").count() == 60L)
