@@ -94,9 +94,17 @@ object CrossEngine {
     * the hex round-trip. Used via Md5MinHashExpr. */
   def md5MinHash(grams: org.apache.spark.sql.catalyst.util.ArrayData, k: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n0 = grams.numElements()
+    // EMPTY gram set → EMPTY signature, matching the relational
+    // groupBy(lane).agg(min) twin (no rows) and md5MinHashText's contract:
+    // the old [MaxValue × k] sentinel gave every empty-gram doc the SAME
+    // signature — identical band hashes, one hot all-empties bucket (the
+    // round-5 Decontaminate empty-shingle pathology, round-6 review)
+    if (n0 == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     val md = mdLocal.get()
     val mins = Array.fill(k)(Long.MaxValue)
-    val n = grams.numElements()
+    val n = n0
     var i = 0
     while (i < n) {
       val gramBytes = grams.getUTF8String(i).getBytes

@@ -21,14 +21,37 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   */
 object PlaneKernel {
   private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Long]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Long]]]()
 
-  /** Rademacher plane matrix for (tag, nPlanes, dim) — derivation matches
-    * CrossEngine.rademacher, i.e. the md5 CASE expression in the oracles. */
-  def planes(tag: String, n: Int, dim: Int): Array[Array[Long]] =
-    planeCache.computeIfAbsent((tag, n, dim), { case (t, nn, d) =>
-      Array.tabulate(nn)(p => Array.tabulate(d)(i => CrossEngine.rademacher(t, p, i).toLong))
-    })
+  /** Rademacher plane matrix rows 0..n−1 for (tag, dim) — derivation
+    * matches CrossEngine.rademacher, i.e. the md5 CASE expression in the
+    * oracles. ONE growable matrix per (tag, dim): the old cache keyed on
+    * (tag, n, dim) but every multi-table caller asks for prefixes b, 2b, …,
+    * T·b, so a T-table layout stored T overlapping copies — O(T²·b·dim)
+    * longs and md5 derivations per executor JVM instead of O(T·b·dim)
+    * (round-6 review; at planFor(10⁹)'s 143×25 tables that's ~16M redundant
+    * derivations). Rows are derivation-independent, so growth copies the
+    * row POINTERS and fills only the missing tail; the returned matrix may
+    * be longer than requested — callers index rows < their n. The hot
+    * per-row-eval path stays one CHM get + a length check. */
+  def planes(tag: String, n: Int, dim: Int): Array[Array[Long]] = {
+    val key = (tag, dim)
+    val cur = planeCache.get(key)
+    if (cur != null && cur.length >= n) cur
+    else planeCache.compute(key, (_, old) =>
+      if (old != null && old.length >= n) old
+      else {
+        val out =
+          if (old == null) new Array[Array[Long]](n)
+          else java.util.Arrays.copyOf(old, n)
+        var p = if (old == null) 0 else old.length
+        while (p < n) {
+          out(p) = Array.tabulate(dim)(i => CrossEngine.rademacher(tag, p, i).toLong)
+          p += 1
+        }
+        out
+      })
+  }
 
   /** Packed sign bits of GLOBAL planes off..off+n−1: local bit j set iff
     * plane (off+j) dot ≥ 0. The offset form is what lets a multi-table

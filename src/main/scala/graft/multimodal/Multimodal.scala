@@ -31,11 +31,16 @@ object Multimodal {
       * derives a square image from a seeded hash of the payload. A real
       * implementation would call the codec here — signature unchanged. */
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Array[Double]) = {
-      val side = math.max(2, math.min(8, bytes.length / 16))
+      // null payload (a null-text doc through fakeMediaFromDocs — encode of
+      // NULL is NULL) decodes like an empty one: the contract everywhere in
+      // this module is that a malformed/absent payload NEVER crashes the
+      // batch (round-6 review)
+      val b0 = if (bytes == null) Array.empty[Byte] else bytes
+      val side = math.max(2, math.min(8, b0.length / 16))
       val px = new Array[Double](side * side)
       var i = 0
       while (i < px.length) {
-        val b = if (bytes.isEmpty) 0L else bytes(i % bytes.length).toLong
+        val b = if (b0.isEmpty) 0L else b0(i % b0.length).toLong
         px(i) = (Rng.hash2(b, i.toLong) & 0xFF).toDouble / 255.0
         i += 1
       }
@@ -75,7 +80,7 @@ object Multimodal {
     private[multimodal] def le32(b: Array[Byte], off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
         ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
-    private def le16(b: Array[Byte], off: Int): Int =
+    private[multimodal] def le16(b: Array[Byte], off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
     private[multimodal] def ascii(b: Array[Byte], off: Int, s: String): Boolean = {
       var i = 0
@@ -108,7 +113,11 @@ object Multimodal {
     }
 
     def parse(bytes: Array[Byte]): Option[MediaHeader] =
-      if (bytes.length >= 26 && ascii(bytes, 0, "BM"))
+      // null payload → unparseable (the typedMetadata 'unknown' path), not
+      // an executor NPE — fakeMediaFromDocs emits null bytes for null-text
+      // docs (round-6 review)
+      if (bytes == null) None
+      else if (bytes.length >= 26 && ascii(bytes, 0, "BM"))
         Some(MediaHeader("bmp", le32(bytes, 18), le32(bytes, 22), 0, 0, 0))
       else if (bytes.length >= 36 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))
         // fmt fields at offsets 2/4/14 within the fmt chunk's content —
@@ -248,7 +257,15 @@ object Multimodal {
     media.flatMap { r =>
       Headers.parse(r.bytes) match {
         case Some(h) if h.format == "wav" && h.channels > 0 &&
-            h.bitsPerSample % 8 == 0 && h.bitsPerSample > 0 && h.bitsPerSample <= 32 =>
+            h.bitsPerSample % 8 == 0 && h.bitsPerSample > 0 && h.bitsPerSample <= 32 &&
+            // audioFormat code (fmt chunk offset 0) must be 1 = integer
+            // PCM: an IEEE-float (3) or ADPCM/extensible WAV passes every
+            // other guard and would be sign-extended as if it were int PCM
+            // — garbage samples, the outcome this op's contract forbids
+            // (round-6 review). Non-PCM rows emit NOTHING, like every
+            // other undecodable payload.
+            Headers.findRiffChunk(r.bytes, "fmt ")
+              .exists { case (fo, fsz) => fsz >= 16 && Headers.le16(r.bytes, fo) == 1 } =>
           // the data chunk is LOCATED by the RIFF walk (LIST/fact chunks may
           // precede it); the walk's bounds check already rejects a declared
           // size the payload cannot back (truncated upload → no frames)
@@ -282,7 +299,11 @@ object Multimodal {
     media.select(
       col("id"), col("kind"),
       octet_length(col("bytes")).cast("long").as("n_bytes"),
-      substring(hex(col("bytes")), 1, 8).as("magic"))
+      // substring the BINARY first: hex over the whole payload allocates a
+      // 2× payload-size string per row just to read 4 magic bytes — pure
+      // GC churn on a binary-dominated corpus scan (round-6 review);
+      // byte-identical output incl. payloads shorter than 4 bytes
+      hex(substring(col("bytes"), 1, 4)).as("magic"))
 
   /** Batched feature extraction: one decoder instance per partition, rows
     * streamed through it (the Scala analogue of a pandas-UDF batch). */

@@ -40,7 +40,15 @@ object TableIO {
     val p = manifestPath(dir)
     if (!Files.exists(p)) None
     else {
-      val text = Files.readString(p) // I/O failure propagates
+      // a file deleted BETWEEN the exists() check and this read (write()'s
+      // sanctioned delete-first rewrite window, observed by a concurrent
+      // validating reader) is the ABSENT case, not an I/O failure — the
+      // TOCTOU race must resolve to None like any other missing manifest
+      // (round-6 review); every OTHER I/O failure on an existing file
+      // still propagates (the r5 rationale)
+      val text =
+        try Files.readString(p)
+        catch { case _: java.nio.file.NoSuchFileException => return None }
       try Some(JsonMethods.parse(text).extract[Manifest])
       catch { case NonFatal(_) => None } // corrupt content = not complete
     }

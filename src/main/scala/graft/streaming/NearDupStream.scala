@@ -106,7 +106,6 @@ object NearDupStream {
       var maxTs = st.maxTs // deadline can only move LATER across batches
       val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
       rows.foreach { case (docId, fp, ts) =>
-        if (ts > maxTs) maxTs = ts
         var ids = st.ids
         var fps = st.fps
         while (ids.nonEmpty) {
@@ -127,10 +126,21 @@ object NearDupStream {
         st = {
           val at = st.ids.indexOf(docId)
           if (at >= 0) {
+            // stored member (redelivery/re-crawl) — its new arrival time
+            // counts toward the retention deadline
+            if (ts > maxTs) maxTs = ts
             if (st.fps(at) == fp) st else st.copy(fps = st.fps.updated(at, fp))
-          } else if (st.ids.length < maxMembers)
+          } else if (st.ids.length < maxMembers) {
+            if (ts > maxTs) maxTs = ts
             BucketState(docId :: st.ids, fp :: st.fps, st.dropped)
-          else st.copy(dropped = st.dropped + 1) // capped: disclose, don't grow
+          } else
+            // capped: disclose, don't grow — and do NOT advance maxTs: the
+            // deadline is 'max event time over all STORED members', and a
+            // cap-dropped arrival with a rogue far-future timestamp would
+            // otherwise arm a retention deadline no stored member backs,
+            // keeping the bucket's state alive indefinitely (round-6
+            // review; watermarks bound lateness, not future timestamps)
+            st.copy(dropped = st.dropped + 1)
         }
       }
       state.update(st.copy(maxTs = maxTs))

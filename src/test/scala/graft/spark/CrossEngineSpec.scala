@@ -43,6 +43,12 @@ class CrossEngineSpec extends AnyFunSuite {
       val want = grams.map(s => CrossEngine.md5long(s"$l:$s")).min
       assert(fused.getLong(l) == want, s"lane $l")
     }
+    // EMPTY gram set → EMPTY signature (the relational groupBy(min) twin
+    // emits no rows; the old [MaxValue × k] sentinel made every empty-gram
+    // doc share one signature — identical band hashes, one hot bucket of
+    // all empties; round-6 review)
+    val empty = CrossEngine.md5MinHash(new GenericArrayData(Array.empty[Any]), k)
+    assert(empty.numElements() == 0)
   }
 
   test("graft_cosq kernel is bitwise-equal to the built-in cosine tree") {

@@ -256,6 +256,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("null payloads surface as unknown/empty, never an executor NPE") {
+    import spark.implicits._
+    // fakeMediaFromDocs emits bytes = NULL for null-text docs (encode(NULL)
+    // is NULL) — the whole decode surface must survive it (round-6 review)
+    assert(Multimodal.Headers.parse(null).isEmpty)
+    val media = Seq(Multimodal.MediaRow(1L, "image", null),
+      Multimodal.MediaRow(2L, "audio", "RIFFxxxx".getBytes)).toDS()
+    val meta = Multimodal.typedMetadata(media).collect().sortBy(_.id)
+    assert(meta.map(_.format).toSeq == Seq("unknown", "unknown"))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2)
+    assert(Multimodal.sampleWavFrames(media, every = 1).collect().isEmpty)
+  }
+
+  test("a non-PCM WAV (IEEE-float format code) yields no frames, not garbage samples") {
+    import spark.implicits._
+    // audioFormat 3 (IEEE float) passes every other guard; decoding its
+    // float bit patterns as int PCM would emit garbage (round-6 review)
+    def wav(audioFormat: Short): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      bb.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      bb.putInt(16).putShort(audioFormat).putShort(1).putInt(8000)
+      bb.putInt(8000 * 4).putShort(4).putShort(32)
+      bb.put("data".getBytes("US-ASCII")).putInt(8)
+      bb.putFloat(0.5f).putFloat(-0.25f)
+      bb.array()
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(3)), // IEEE float → nothing
+      Multimodal.MediaRow(2L, "audio", wav(1))  // int PCM → frames
+    ).toDS()
+    val got = Multimodal.sampleWavFrames(media, every = 1).collect()
+    assert(got.forall(_.id == 2L), s"float WAV must emit no frames: ${got.toSeq}")
+    assert(got.nonEmpty, "the PCM control row must still decode")
+    // header METADATA still parses for non-PCM (typed metadata ≠ decode)
+    assert(Multimodal.Headers.parse(wav(3)).exists(_.format == "wav"))
+  }
+
   test("a declared chunk size near Int.MaxValue is rejected, not a wild read") {
     import spark.implicits._
     // size 0x7FFFFFF0: `size < 0` is false and an Int-space bounds check

@@ -145,6 +145,29 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(out == List(DupPair(1L, 2L, 2)))
   }
 
+  test("a cap-dropped arrival cannot extend the bucket's event-time deadline") {
+    // deadline = max event time over STORED members; a rejected arrival
+    // with a rogue far-future timestamp must not arm a retention window no
+    // stored member backs (round-6 review — the bucket's state would
+    // otherwise outlive every member, effectively forever)
+    val state = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L, 2L), List(0L, 1L), 0L).copy(maxTs = 100000L)),
+      GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long],
+      hasTimedOut = false)
+    var armed = -1L
+    NearDupStream.updateBucket(6, 2, // cap 2: bucket full
+      Iterator((99L, 0L, 99999999999L)), state, (_, ts) => armed = ts).toList
+    assert(state.get.dropped == 1L)
+    assert(state.get.maxTs == 100000L, "dropped arrival must not advance maxTs")
+    assert(armed == 100000L)
+    // a STORED member's redelivery DOES advance it (it is a member's event)
+    NearDupStream.updateBucket(6, 2,
+      Iterator((1L, 0L, 200000L)), state, (_, ts) => armed = ts).toList
+    assert(state.get.maxTs == 200000L && armed == 200000L)
+  }
+
   test("a re-crawl with changed text refreshes the stored fingerprint (newest-write-wins)") {
     // doc 1 sits in state with fp 0; a re-crawl delivers doc 1 with fp 0xFF
     // (text changed). The redelivery must not duplicate the member, but its
