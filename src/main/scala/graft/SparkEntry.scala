@@ -65,7 +65,13 @@ object SparkEntry {
       * disagreement at a power-of-two boundary would silently fork the two
       * engines' plans. */
     def bitsForCorpus(n: Long, targetBucket: Long = 1024L): Int =
-      math.max(4, (0 to 57).find(b => (targetBucket << b) >= n).getOrElse(57))
+      // ((n−1) >> b) < target ⇔ target·2^b ≥ n, but OVERFLOW-FREE: the
+      // shifted-left form wraps negative (then to 0) for target·2^b ≥ 2^63,
+      // silently returning the 57 fallback instead of the true smallest b
+      // (round-6 review; beyond today's corpora, but a boundary fork is
+      // exactly what this integer rule exists to prevent). Identical values
+      // for every non-overflowing input, so the oracle SQL is unchanged.
+      math.max(4, (0 to 57).find(b => ((n - 1) >> b) < targetBucket).getOrElse(57))
   }
 
   /** Function-word lexicons for the scored language-ID heuristic (top
@@ -89,6 +95,24 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** The synthetic media fixture shared by q_media_headers and
+    * q_wav_frames — ONE definition of the (id → kind, payload) rule: a
+    * drift between the two queries' input corpora (and their oracles'
+    * integer specs) must be impossible (round-6 review: the block was
+    * copy-pasted into both). */
+  private def syntheticMedia(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRow] = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        graft.multimodal.Multimodal.MediaRow(
+          id,
+          if (id % 2 == 0) "image" else "audio",
+          graft.multimodal.Multimodal.SyntheticMedia.bytes(id, t))
+      }
+  }
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -580,7 +604,11 @@ object SparkEntry {
         // md5 work across the cluster before the heavy projection. The N is
         // EXPLICIT so AQE cannot coalesce the byte-light exchange back into
         // a few CPU-bound tasks (this sandbox's documented pathology).
-        .repartition(s.sparkContext.defaultParallelism * 2, col("doc_id"))
+        // Plain cores, NOT a 2× multiplier: the round-3 A/B measured the
+        // 2×/4× partition multipliers at ~2× warm wall at 32 threads via
+        // shuffle-file syscall churn (round-6 review caught this stray
+        // survivor of the old policy).
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           // one fused codegen pass: text → word trigrams → 16 lane minima
           // (value-identical to explode×grams×16 + groupBy(min); min is
@@ -648,7 +676,14 @@ object SparkEntry {
       val b = Planes.bitsForCorpus(
         graft.sources.TableIO.rowCount(s, s"$dir/embeddings.parquet"),
         Planes.AnnTargetBucket)
-      val e = emb.select(col("vec_id"), call_function("graft_quantize", col("embedding")).as("v"))
+      // CACHED: the quantized projection feeds the bucket relation AND both
+      // wide rerank joins, and the bucket relation feeds census + gate +
+      // both self-join sides — uncached, graft_quantize/graft_plane_bits
+      // re-ran on SIX scan branches (visible in the round-5 PLANS.md dump;
+      // the r3 SimHash chunk-relation lesson applied late, round-6 review).
+      // Query-map forms rely on Bench/Verify's clearCache between queries.
+      val e = emb.select(col("vec_id"),
+        call_function("graft_quantize", col("embedding")).as("v")).cache()
       // per-table packed sign bits via the native codegen kernel (one fused
       // loop per table over planes [t·b, (t+1)·b) — no 64-bit packing cap,
       // so the same code carries ≥20-bit buckets at web scale)
@@ -656,6 +691,7 @@ object SparkEntry {
         posexplode(array((0 until Planes.AnnTables).map(t =>
           call_function("graft_plane_bits", col("v"), lit("ann"), lit(t * b), lit(b))): _*))
           .as(Seq("table_idx", "bucket")))
+        .cache()
       val keys = Seq("table_idx", "bucket")
       val census = buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_size"))
       // census gate FORCED to shuffle: unbounded key set (one row per
@@ -793,7 +829,9 @@ object SparkEntry {
         .select(
           col("doc_id"),
           octet_length(bin).cast("long").as("n_bytes"),
-          substring(hex(bin), 1, 8).as("magic"))
+          // binary substring BEFORE hex — same output, no 2×-payload
+          // string per row (the Multimodal.metadata posture)
+          hex(substring(bin, 1, 4)).as("magic"))
         .orderBy("doc_id")
     }),
     "q_media_headers" -> ((s, dir) => {
@@ -805,16 +843,7 @@ object SparkEntry {
       // expected fields directly from the same integer spec, so an offset
       // or sign error in either encode or decode breaks parity. Negative
       // BMP heights (top-down rows) exercise signed le32.
-      import s.implicits._
-      val media = docs(s, dir).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, t) =>
-          graft.multimodal.Multimodal.MediaRow(
-            id,
-            if (id % 2 == 0) "image" else "audio",
-            graft.multimodal.Multimodal.SyntheticMedia.bytes(id, t))
-        }
-      graft.multimodal.Multimodal.typedMetadata(media)
+      graft.multimodal.Multimodal.typedMetadata(syntheticMedia(s, dir))
         .toDF()
         .select(
           col("id").as("doc_id"),
@@ -836,16 +865,7 @@ object SparkEntry {
       // block align), and the oracle recomputes the expected samples from
       // the same integer spec — encode and decode are independent code
       // paths, so a stride/bias/sign error on either side breaks parity.
-      import s.implicits._
-      val media = docs(s, dir).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, t) =>
-          graft.multimodal.Multimodal.MediaRow(
-            id,
-            if (id % 2 == 0) "image" else "audio",
-            graft.multimodal.Multimodal.SyntheticMedia.bytes(id, t))
-        }
-      graft.multimodal.Multimodal.sampleWavFrames(media, every = 4)
+      graft.multimodal.Multimodal.sampleWavFrames(syntheticMedia(s, dir), every = 4)
         .toDF()
         .select(col("id").as("doc_id"), col("frame_idx"), col("sample"))
         .orderBy("doc_id", "frame_idx")

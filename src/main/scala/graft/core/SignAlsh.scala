@@ -80,9 +80,5 @@ final case class SignAlsh(nHashes: Int, dim: Int, maxnorm: Double, m: Int = 3, s
     out
   }
 
-  def hamming(a: Array[Long], b: Array[Long]): Int = {
-    var i = 0; var h = 0
-    while (i < a.length) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
-    h
-  }
+  def hamming(a: Array[Long], b: Array[Long]): Int = Similarities.hammingBits(a, b)
 }

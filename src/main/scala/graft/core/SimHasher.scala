@@ -47,9 +47,5 @@ final case class SimHasher(nHashes: Int, dim: Int, seed: Long = 0L)
   }
 
   /** Hamming distance between two packed signatures. */
-  def hamming(a: Array[Long], b: Array[Long]): Int = {
-    var i = 0; var h = 0
-    while (i < a.length) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
-    h
-  }
+  def hamming(a: Array[Long], b: Array[Long]): Int = Similarities.hammingBits(a, b)
 }

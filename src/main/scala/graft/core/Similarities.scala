@@ -35,6 +35,20 @@ object Similarities {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** Hamming distance on packed bit vectors — the ONE shared kernel
+    * (SimHasher.hamming and SignAlsh.hamming delegate here; their former
+    * verbatim copies iterated a.length unguarded, silently returning a
+    * too-small distance when b was the longer signature and throwing on
+    * executors when it was shorter — round-6 review). */
+  def hammingBits(a: Array[Long], b: Array[Long]): Int = {
+    require(a.length == b.length,
+      s"signature length mismatch: ${a.length} vs ${b.length} words — " +
+        "hamming is only defined between signatures of the same family")
+    var i = 0; var h = 0
+    while (i < a.length) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    h
+  }
+
   /** Jaccard on packed bit vectors (Long words). */
   def jaccardBits(x: Array[Long], y: Array[Long]): Double = {
     require(x.length == y.length, s"length mismatch: ${x.length} vs ${y.length}")

@@ -115,6 +115,12 @@ object SuffixArray {
   def lcsLength(a: String, b: String): Int = lcsLength(a, b, 20000)
 
   def lcsLength(a: String, b: String, maxLen: Int): Int = {
+    // reject a cap that would breach build()'s n < 2^21 input limit HERE,
+    // once, at the call site — not per-row on executors mid-stage with
+    // build's less actionable "input too long" (round-6 review)
+    require(2L * maxLen + 1 < (1 << 21),
+      s"maxLen $maxLen would exceed the suffix-array input cap " +
+        s"(2·maxLen+1 must be < 2^21 = ${1 << 21})")
     if (a.isEmpty || b.isEmpty) return 0
     val ta = if (a.length > maxLen) a.substring(0, maxLen) else a
     val tb = if (b.length > maxLen) b.substring(0, maxLen) else b
