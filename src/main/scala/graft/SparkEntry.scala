@@ -154,17 +154,30 @@ object SparkEntry {
     * Returns (pair counts c per (doc_a, doc_b), per-doc sizes n, pinned). */
   private def pairCounts(items: DataFrame, dfCap: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
     val cached = items.cache()
-    val sh = dfCap match {
+    // The per-doc sizes |A| count every in-cap item, but pair INTERSECTIONS
+    // can only come from items shared by ≥ 2 docs — a df=1 item's only
+    // self-join row is (a, a), killed by doc_a < doc_b. So in the CAPPED
+    // case (census already exists) the self-join sides pre-filter to
+    // df ∈ [2, cap]: a pure no-op on the result that removes the
+    // single-occurrence bulk (winnow fingerprints are mostly unique —
+    // measured −19% warm on q_winnow_pairs) from both sort-merge inputs
+    // (guide §2.3, sort fewer bytes). The two census branches (≤ cap for
+    // sizes, [2, cap] for pairs) differ only in the filter above the final
+    // aggregate, so ReuseExchange still shares the one census shuffle.
+    // The UNCAPPED twin deliberately stays census-free: adding a df≥2
+    // census to q_ngram_jaccard_pairs measured flat-to-slightly-worse at
+    // sf0.1 (the extra aggregation pass ≈ the sort shrink; r7 A/B in
+    // OPTIMIZATION_r07.md).
+    val (szItems, multi) = dfCap match {
       case Some(cap) =>
-        cached.join(
-          cached.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= cap).select("s")
-            .hint("shuffle_hash"),
-          "s")
-      case None => cached
+        val census = cached.groupBy("s").agg(count(lit(1)).as("df"))
+        (cached.join(census.where(col("df") <= cap).select("s").hint("shuffle_hash"), "s"),
+          cached.join(census.where(col("df").between(2L, cap)).select("s").hint("shuffle_hash"), "s"))
+      case None => (cached, cached)
     }
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("merge"), Seq("s"))
+    val sz = szItems.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = multi.select(col("doc_id").as("doc_a"), col("s"))
+      .join(multi.select(col("doc_id").as("doc_b"), col("s")).hint("merge"), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     (inter, sz, cached)
@@ -790,7 +803,20 @@ object SparkEntry {
       val c = tbl(s, dir, "customer")
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
+      // AGGREGATE BEFORE THE JOIN (guide §2.3): lineitem revenue is first
+      // partial-aggregated by l_orderkey (map-side combine — the join then
+      // carries one row per order instead of every line item), and because
+      // o_orderkey is the orders PK each pre-aggregated row matches exactly
+      // one order/customer, so countDistinct(o_orderkey) ≡ count(*) here —
+      // the countDistinct form planned a 3-aggregate ladder with an extra
+      // (segment, orderkey) exchange AFTER the widest join (r7 before-plan:
+      // HashAgg×3 + Exchange×2 above the joins; after: one groupBy).
+      // Revenue re-association is within the round(,2) money-sum tolerance
+      // this file's determinism rules already rely on (sum order was never
+      // pinned under partitioning).
+      val lrev = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      lrev.join(o, col("l_orderkey") === col("o_orderkey"))
         // customer is sf-SCALED (1.5e9 rows at TPC-H sf1000), not a fixed
         // dim — an explicit broadcast is the unbounded-side flip the rest
         // of the file hint-proofs against; the narrow 2-column projection
@@ -799,8 +825,8 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          count(lit(1)).as("n_orders"),
+          round(sum(col("rev")), 2).as("revenue"))
         .orderBy("c_mktsegment")
     }),
     "q_window_topn" -> ((s, dir) => {
