@@ -340,12 +340,12 @@ object Main {
         val r = graft.pipeline.IvfIndex.append(
           spark, spark.read.parquet(newEmbPath), storeDir)
         if (r.newVectors == 0)
-          println(s"[graft] ivf-append: nothing new (${r.droppedExisting} " +
-            s"re-delivered ids dropped), store unchanged")
+          println(s"[graft] ivf-append: nothing new (${r.droppedDupOrStored} " +
+            s"duplicate or already-stored ids dropped), store unchanged")
         else
           println(s"[graft] ivf-append committed at ${r.incDir}: " +
             s"${r.newVectors} new vectors assigned against the frozen " +
-            s"centroids (${r.droppedExisting} re-delivered ids dropped)")
+            s"centroids (${r.droppedDupOrStored} duplicate or already-stored ids dropped)")
       case Seq("mips-build", embPath, storeDir) =>
         val a = mipsArgs
         val spark = session()
@@ -366,12 +366,12 @@ object Main {
         val r = graft.pipeline.MipsIndex.append(
           spark, spark.read.parquet(newEmbPath), storeDir)
         if (r.newVectors == 0)
-          println(s"[graft] mips-append: nothing new (${r.droppedExisting} " +
-            s"re-delivered ids dropped), store unchanged")
+          println(s"[graft] mips-append: nothing new (${r.droppedDupOrStored} " +
+            s"duplicate or already-stored ids dropped), store unchanged")
         else
           println(s"[graft] mips-append committed at ${r.incDir}: " +
             s"${r.newVectors} new vectors hashed under the frozen plan/maxnorm " +
-            s"(${r.droppedExisting} re-delivered ids dropped)")
+            s"(${r.droppedDupOrStored} duplicate or already-stored ids dropped)")
       case Seq("mips-query", storeDir, probesPath, outDir) =>
         val a = mipsArgs
         val spark = session()

@@ -98,16 +98,18 @@ object Multimodal {
       * walk — a truncated upload must yield None, never a wild read. */
     private[multimodal] def findRiffChunk(
         bytes: Array[Byte], id: String): Option[(Int, Int)] = {
-      var off = 12 // past RIFF<size>WAVE
-      while (off + 8 <= bytes.length) {
-        val size = le32(bytes, off + 4)
-        // bounds math in LONG: a declared size near Int.MaxValue makes
-        // `off + 8 + size` wrap negative in Int, slipping past this guard
-        // into a wild read (round-6 review) — exactly the crash the
-        // malformed-row contract forbids
-        if (size < 0 || off.toLong + 8L + size.toLong > bytes.length) return None
-        if (ascii(bytes, off, id)) return Some((off + 8, size))
-        off += 8 + size + (size & 1)
+      // the WHOLE walk is in Long: the round-6 fix moved only the bounds
+      // GUARD to Long, but the `off += 8 + size + pad` advance stayed Int —
+      // an odd-sized final chunk ending exactly at a ~2 GiB payload's EOF
+      // wrapped `off` negative and the next read threw on an executor
+      // (ADVICE r7, same overflow class one expression over). Reads take
+      // Int offsets — safe, the guard has already bounded off ≤ length.
+      var off = 12L // past RIFF<size>WAVE
+      while (off + 8L <= bytes.length) {
+        val size = le32(bytes, (off + 4L).toInt)
+        if (size < 0 || off + 8L + size.toLong > bytes.length) return None
+        if (ascii(bytes, off.toInt, id)) return Some(((off + 8L).toInt, size))
+        off += 8L + size.toLong + (size & 1).toLong
       }
       None
     }

@@ -33,9 +33,13 @@ private[pipeline] object IncDirs {
         // engine-written — and .toInt on it would throw, bricking every
         // store read on a dir the strict regex was meant to ignore
         // (round-6 review). Treated as a stray like any other name.
+        // k ≥ 1 for the same reason: a stray `inc-0` is never
+        // engine-written, and it used to trip the gap check below with a
+        // misleading "inc-1 is missing but inc-0 exists" (ADVICE r7).
         try it.iterator().asScala.toSeq
           .map(_.getFileName.toString)
-          .collect { case n @ strict(k) if k.length <= 9 => (k.toInt, s"$baseDir/$n") }
+          .collect { case n @ strict(k) if k.length <= 9 && k.toInt >= 1 =>
+            (k.toInt, s"$baseDir/$n") }
           .sortBy(_._1)
         finally it.close()
       }
@@ -105,7 +109,7 @@ private[pipeline] object IncDirs {
       validate: Long => Unit = _ => (),
       computeSecond: DataFrame => DataFrame):
       (String, Long, Long, Seq[CheckpointedDedup.StageResult]) = {
-    import org.apache.spark.sql.functions.{count, lit}
+    import org.apache.spark.sql.functions.lit
     val q = IvfIndex.quantized(newEmb).cache()
     try {
       val nInput = q.count()
@@ -116,22 +120,46 @@ private[pipeline] object IncDirs {
         .join(existingIds.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
         .cache()
       try {
+        // ONE aggregation job: row count + extraStat + the vectors-stage
+        // input fingerprint, fused — the standalone inputFingerprint agg
+        // was a whole extra job on this VM's per-job-constant append floor
+        // (VERDICT r6 #4). fingerprintCols/fingerprintString ARE the
+        // standalone formula (shared code, not a re-typed copy — formulas
+        // are invalidation-critical).
+        val (fn, fx) = StageRunner.fingerprintCols("vec_id", "v")
         val r = newVecs
-          .agg(count(lit(1)).as("n"), extraStat.getOrElse(lit(0L)).as("s")).first()
+          .agg(fn.as("n"), extraStat.getOrElse(lit(0L)).as("s"), fx.as("x")).first()
         val nNew = r.getLong(0)
         val dropped = nInput - nNew
         if (nNew == 0) return ("", 0L, dropped, Seq.empty)
         validate(r.getLong(1))
         val k = incs.map(_._1).maxOption.getOrElse(0) + 1
         val hv = CheckpointedDedup.chainHash(baseChain, s"${saltPrefix}_vectors",
-          s"$k:v1:${StageRunner.inputFingerprint(newVecs, "vec_id", "v")}")
+          s"$k:v1:${StageRunner.fingerprintString(nNew, r.getLong(2))}")
         val h2 = CheckpointedDedup.chainHash(hv, s"${saltPrefix}_$secondStage", secondSalt)
         var stages: Seq[CheckpointedDedup.StageResult] = Seq.empty
         val incDir = commit(baseDir, k, what) { tmp =>
-          val runner = new StageRunner(spark, tmp)
-          val vStage = runner.stage("vectors", hv, Map("base" -> baseChain)) { newVecs }
-          runner.stage(secondStage, h2) { computeSecond(vStage.df) }
-          stages = runner.stages.toSeq
+          // The two stage writes are INDEPENDENT given the cached newVecs
+          // (the second stage used to recompute from the first stage's
+          // freshly WRITTEN parquet — a read-back of data already pinned in
+          // memory): submit both from driver threads so the second job's
+          // tasks back-fill the first's stragglers and the two
+          // write+manifest constant windows overlap (guide §2.6; the
+          // VERDICT r6 #4 append-floor lever). Value-identical: inside a
+          // fresh tmp dir both stages always recompute, and the vectors
+          // parquet IS newVecs.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val r1 = new StageRunner(spark, tmp)
+          val r2 = new StageRunner(spark, tmp)
+          val f1 = Future(r1.stage("vectors", hv, Map("base" -> baseChain)) { newVecs })
+          val f2 = Future(r2.stage(secondStage, h2) { computeSecond(newVecs) })
+          // await BOTH before surfacing either failure: commit must never
+          // rename the tmp dir while a stage write is still in flight
+          val e1 = scala.util.Try(Await.result(f1, Duration.Inf))
+          val e2 = scala.util.Try(Await.result(f2, Duration.Inf))
+          stages = Seq(e1.get, e2.get)
         }
         (incDir, nNew, dropped, stages)
       } finally newVecs.unpersist(blocking = false)

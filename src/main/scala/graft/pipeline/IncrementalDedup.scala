@@ -96,10 +96,14 @@ object IncrementalDedup {
         val it = Files.list(base)
         // ≤ 9 digits: a 10+-digit suffix (timestamp-suffixed stray) is
         // never engine-written and .toInt on it would throw, bricking
-        // every store read (round-6 review; same guard in IncDirs)
+        // every store read (round-6 review; same guard in IncDirs).
+        // k ≥ 1: the engine numbers increments from 1, so a stray `inc-0`
+        // is ignored like any other non-engine name instead of tripping
+        // the gap check with a misleading "inc-1 missing" (ADVICE r7).
         try it.iterator().asScala.toSeq
           .map(_.getFileName.toString)
-          .collect { case n @ strict(k) if k.length <= 9 => (k.toInt, s"$baseDir/$n") }
+          .collect { case n @ strict(k) if k.length <= 9 && k.toInt >= 1 =>
+            (k.toInt, s"$baseDir/$n") }
           .sortBy(_._1)
         finally it.close()
       }

@@ -268,7 +268,7 @@ object IvfIndex {
   private val IncStageNames = Seq("vectors", "assignment")
 
   final case class AppendReport(
-      incDir: String, newVectors: Long, droppedExisting: Long,
+      incDir: String, newVectors: Long, droppedDupOrStored: Long,
       stages: Seq[CheckpointedDedup.StageResult])
 
   /** Append new (vec_id, embedding) rows to a completed store WITHOUT

@@ -32,7 +32,7 @@ object MipsIndex {
   }
 
   final case class AppendReport(
-      incDir: String, newVectors: Long, droppedExisting: Long,
+      incDir: String, newVectors: Long, droppedDupOrStored: Long,
       stages: Seq[CheckpointedDedup.StageResult])
 
   private val StageNames = Seq("vectors", "bits")

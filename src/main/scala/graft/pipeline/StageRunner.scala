@@ -48,14 +48,26 @@ private[pipeline] final class StageRunner(spark: SparkSession, baseDir: String) 
 }
 
 private[pipeline] object StageRunner {
+  /** The fingerprint's two aggregate Columns (row count, xor of per-row
+    * xxhash64) — exposed so a caller with an existing aggregation job can
+    * FUSE the fingerprint into it instead of paying a second job
+    * (IncDirs.appendStages; each extra job is a fixed scheduling constant
+    * on this VM). Every consumer must format via [[fingerprintString]] —
+    * fingerprint formulas are invalidation-critical and must never drift
+    * between the fused and standalone forms. */
+  def fingerprintCols(cols: String*): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
+    count(lit(1)).cast("long"),
+    coalesce(expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))"), lit(0L)))
+
+  def fingerprintString(n: Long, x: Long): String = s"$n:$x"
+
   /** Order-independent input fingerprint over the named columns: row count
     * + xor of per-row xxhash64 — pointing a store at different input must
     * invalidate its whole chain. bit_xor over zero rows is NULL → coalesce,
     * so an empty input fingerprints cleanly. */
   def inputFingerprint(df: DataFrame, cols: String*): String = {
-    val r = df.agg(count(lit(1)).cast("long").as("n"),
-      coalesce(expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))"), lit(0L)).as("x"))
-      .first()
-    s"${r.getLong(0)}:${r.getLong(1)}"
+    val (n, x) = fingerprintCols(cols: _*)
+    val r = df.agg(n.as("n"), x.as("x")).first()
+    fingerprintString(r.getLong(0), r.getLong(1))
   }
 }

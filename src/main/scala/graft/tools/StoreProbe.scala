@@ -83,6 +83,11 @@ object StoreProbe {
         f"(build-ratio ${ivfAppend / ivfBuild}%.2f), mips=$mipsAppend%.2f s " +
         f"(build-ratio ${mipsAppend / mipsBuild}%.2f); post-append query " +
         f"ivf=$ivfQ3%.2f s mips=$mipsQ3%.2f s")
+      // per-stage walls attribute the append floor: stage millis = full
+      // materialization wall of each (now concurrent) stage write
+      println(s"[store-probe] append stage walls: " +
+        s"ivf={${ivfRep.stages.map(s => s"${s.name}=${s.millis}ms").mkString(", ")}} " +
+        s"mips={${mipsRep.stages.map(s => s"${s.name}=${s.millis}ms").mkString(", ")}}")
       println(s"""{"metric":"store_probe","vecs":$nVecs,"cores":$cores,""" +
         f""""ivf_build_sec":$ivfBuild%.2f,"ivf_query_sec":${math.min(ivfQ1, ivfQ2)}%.2f,""" +
         f""""mips_build_sec":$mipsBuild%.2f,"mips_query_sec":${math.min(mipsQ1, mipsQ2)}%.2f,""" +

@@ -103,14 +103,14 @@ class IvfIndexSpec extends AnyFunSuite {
     val dir = tmpDir()
     IvfIndex.build(spark, base, dir, nCells = 23)
     val r1 = IvfIndex.append(spark, delta1, dir)
-    assert(r1.newVectors == delta1.count() && r1.droppedExisting == 0)
+    assert(r1.newVectors == delta1.count() && r1.droppedDupOrStored == 0)
     assert(r1.incDir.endsWith("inc-1"))
     assert(r1.stages.map(_.name) == Seq("vectors", "assignment"))
     val r2 = IvfIndex.append(spark, delta2, dir)
     assert(r2.incDir.endsWith("inc-2") && r2.newVectors == delta2.count())
     // a re-delivery (everything already stored) writes nothing
     val r3 = IvfIndex.append(spark, delta1, dir)
-    assert(r3.newVectors == 0 && r3.droppedExisting == delta1.count())
+    assert(r3.newVectors == 0 && r3.droppedDupOrStored == delta1.count())
     assert(r3.incDir.isEmpty)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/inc-3")))
 
@@ -154,7 +154,7 @@ class IvfIndexSpec extends AnyFunSuite {
     // the same drop unioned with itself: every id appears twice IN the batch
     val r = IvfIndex.append(spark, delta.unionByName(delta), dir)
     assert(r.newVectors == delta.count(), "one copy per id committed")
-    assert(r.droppedExisting == delta.count(), "the intra-batch copies counted as dropped")
+    assert(r.droppedDupOrStored == delta.count(), "the intra-batch copies counted as dropped")
     val stored = TableIO.read(spark, s"$dir/inc-1/vectors")
     assert(stored.count() == stored.select("vec_id").distinct().count())
   }

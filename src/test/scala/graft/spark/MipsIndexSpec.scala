@@ -83,7 +83,7 @@ class MipsIndexSpec extends AnyFunSuite {
     assert(r.stages.map(_.name) == Seq("vectors", "bits"))
     // zero-new: re-delivering the same delta writes nothing
     val r0 = MipsIndex.append(spark, delta, dirA)
-    assert(r0.newVectors == 0 && r0.droppedExisting == deltaIds.size && r0.incDir.isEmpty)
+    assert(r0.newVectors == 0 && r0.droppedDupOrStored == deltaIds.size && r0.incDir.isEmpty)
 
     // full rebuild over the union under the SAME plan: m2 re-derives to the
     // same value (the max-norm vector sits in the base), so bits — and
