@@ -36,9 +36,14 @@ private[pipeline] object IncDirs {
         // k ≥ 1 for the same reason: a stray `inc-0` is never
         // engine-written, and it used to trip the gap check below with a
         // misleading "inc-1 is missing but inc-0 exists" (ADVICE r7).
+        // Canonical-form check (k == toInt round-trip) rejects
+        // leading-zero strays like `inc-01` too — those parse to a VALID
+        // increment number and would either shadow or duplicate a real
+        // inc-k entry in the gap check (r7 review).
         try it.iterator().asScala.toSeq
           .map(_.getFileName.toString)
-          .collect { case n @ strict(k) if k.length <= 9 && k.toInt >= 1 =>
+          .collect { case n @ strict(k)
+              if k.length <= 9 && k.toInt >= 1 && k == k.toInt.toString =>
             (k.toInt, s"$baseDir/$n") }
           .sortBy(_._1)
         finally it.close()
@@ -156,10 +161,17 @@ private[pipeline] object IncDirs {
           val f1 = Future(r1.stage("vectors", hv, Map("base" -> baseChain)) { newVecs })
           val f2 = Future(r2.stage(secondStage, h2) { computeSecond(newVecs) })
           // await BOTH before surfacing either failure: commit must never
-          // rename the tmp dir while a stage write is still in flight
+          // rename the tmp dir while a stage write is still in flight.
+          // When both fail, the second failure rides along as suppressed —
+          // throwing only e1 would hide e2's (possibly root-cause) error
+          // (the IncrementalDedup commit-cleanup convention).
           val e1 = scala.util.Try(Await.result(f1, Duration.Inf))
           val e2 = scala.util.Try(Await.result(f2, Duration.Inf))
-          stages = Seq(e1.get, e2.get)
+          (e1, e2) match {
+            case (scala.util.Failure(t1), scala.util.Failure(t2)) =>
+              t1.addSuppressed(t2); throw t1
+            case _ => stages = Seq(e1.get, e2.get)
+          }
         }
         (incDir, nNew, dropped, stages)
       } finally newVecs.unpersist(blocking = false)

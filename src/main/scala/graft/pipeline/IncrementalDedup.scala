@@ -100,9 +100,13 @@ object IncrementalDedup {
         // k ≥ 1: the engine numbers increments from 1, so a stray `inc-0`
         // is ignored like any other non-engine name instead of tripping
         // the gap check with a misleading "inc-1 missing" (ADVICE r7).
+        // Canonical-form check rejects leading-zero strays (`inc-01`)
+        // that parse to a valid number and would shadow/duplicate a real
+        // inc-k in the gap check (r7 review; same guard in IncDirs).
         try it.iterator().asScala.toSeq
           .map(_.getFileName.toString)
-          .collect { case n @ strict(k) if k.length <= 9 && k.toInt >= 1 =>
+          .collect { case n @ strict(k)
+              if k.length <= 9 && k.toInt >= 1 && k == k.toInt.toString =>
             (k.toInt, s"$baseDir/$n") }
           .sortBy(_._1)
         finally it.close()

@@ -28,6 +28,31 @@ object JoinAggCheck {
     val d2 = neu.exceptAll(old).count()
     println(s"[joinagg-check] $dir: old\\new=$d1 new\\old=$d2 " +
       (if (d1 == 0 && d2 == 0) "IDENTICAL" else "DIVERGED"))
+    // Bitwise dump + rounding-margin evidence for the DuckDB cross-check
+    // (r7 review finding #1: the pre-aggregation changes the double-sum
+    // association order, so round(,2) parity with the oracle must be
+    // shown to have margin, not just hold by luck). `rev_raw` is the
+    // UNROUNDED segment sum; its distance to the nearest .005 boundary is
+    // the margin an association reorder would have to cross to fork the
+    // rounded value.
+    val unrounded = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c.select("c_custkey", "c_mktsegment").hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_raw"))
+      .orderBy("c_mktsegment")
+    unrounded.collect().foreach { r =>
+      val v = r.getDouble(1)
+      val cents5 = v / 0.005
+      val margin = math.abs(cents5 - math.rint(cents5)) * 0.005
+      println(f"[joinagg-check] seg=${r.getString(0)} rev_raw=$v%.6f " +
+        f"bits=${java.lang.Double.doubleToLongBits(v)}%016x " +
+        f"margin_to_.005=$margin%.6f")
+    }
+    neu.collect().foreach { r =>
+      println(f"[joinagg-check] seg=${r.getString(0)} n_orders=${r.getLong(1)} " +
+        f"revenue=${r.getDouble(2)} bits=${java.lang.Double.doubleToLongBits(r.getDouble(2))}%016x")
+    }
     spark.stop()
     if (d1 != 0 || d2 != 0) sys.exit(1)
   }

@@ -311,6 +311,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // 10+ digits matches the strict regex but overflows Int — must be
     // treated as a stray, not a NumberFormatException (round-6 review)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-9999999999"))
+    // inc-0 matches the regex too but the engine numbers from 1 — it must
+    // be ignored, not trip the gap check with "inc-1 is missing" (ADVICE r7)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-0"))
+    // inc-02 parses to a VALID number — the canonical-form guard must
+    // ignore it rather than let it duplicate/shadow a real inc-2 (r7 review)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-02"))
     val rep = IncrementalDedup.run(spark, all.where(col("id") >= 30).drop("id"), cfg, dir)
     assert(rep.incDir.endsWith("inc-1"))
     assert(IncrementalDedup.readAll(spark, dir, "docs").count() == 60L)

@@ -183,6 +183,15 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("GAP"))
     java.nio.file.Files.move(
       java.nio.file.Paths.get(s"$dir/inc-2"), java.nio.file.Paths.get(s"$dir/inc-1"))
+    // a stray inc-0 (never engine-written — appends number from 1) must be
+    // ignored like any other stray, not read as "inc-1 is missing" (ADVICE r7);
+    // inc-01 parses to a valid number — the canonical-form guard ignores it
+    // rather than letting it duplicate the real inc-1 (r7 review)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-0"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/inc-01"))
+    val (okDf, okPinned) = IvfIndex.topKWithHandle(spark, dir, col("vec_id") < 5)
+    assert(okDf.count() > 0)
+    okPinned.foreach(_.unpersist(blocking = false))
     // base rebuilt under a different nCells: the append no longer chains
     IvfIndex.build(spark, base, dir, nCells = 31)
     val e3 = intercept[IllegalArgumentException] {
